@@ -1,0 +1,87 @@
+"""SpMV / SpMM compute kernels over the structured formats.
+
+The roofline op of the library (BASELINE.md config 1: >80% of HBM bandwidth
+on v5e).  The reference's SpMV is a serial scattered column loop (reference:
+sparse-linear/src/Data/Matrix/Sparse.hs:447-451); here each format maps to
+the TPU unit that executes it at speed of light:
+
+* DIA  -> shifted fused multiply-adds: one streaming VPU pass, no gathers.
+  XLA fuses the whole sum into a single HBM-bound loop.
+* ELL  -> dense gather + row reduction over a static (nrows, K) tile.
+* BSR  -> batched dense (bm, bn) block contractions on the MXU +
+  segment-sum over block rows.
+
+All functions are jit-compatible pure functions of pytree inputs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sparse_linear_tpu.dtypes import index_dtype
+from sparse_linear_tpu.formats.base import expand_indptr
+
+__all__ = ["dia_spmv", "ell_spmv", "bsr_spmv", "bsr_spmm"]
+
+
+def dia_spmv(dia, x):
+    """y = A @ x for DIA storage: y[i] = sum_d data[d, i] * x[i + off_d]."""
+    nr, nc = dia.shape
+    if x.shape[0] != nc:
+        raise ValueError(f"dia_spmv: dimension mismatch {dia.shape} @ {x.shape}")
+    offsets = dia.offsets
+    pad_lo = max(0, -min(offsets, default=0))
+    pad_hi = max(0, max(offsets, default=0) + nr - nc)
+    xp = jnp.pad(x, (pad_lo, pad_hi))
+    y = jnp.zeros((nr,), dtype=jnp.result_type(dia.data, x))
+    for d, off in enumerate(offsets):
+        start = off + pad_lo
+        y = y + dia.data[d] * jax.lax.slice_in_dim(xp, start, start + nr)
+    return y
+
+
+def ell_spmv(ell, x):
+    """y = A @ x for ELL storage: gather + row-sum over static width K."""
+    nr, nc = ell.shape
+    if x.shape[0] != nc:
+        raise ValueError(f"ell_spmv: dimension mismatch {ell.shape} @ {x.shape}")
+    return (ell.vals * x[ell.cols]).sum(axis=1)
+
+
+def bsr_spmv(bsr, x):
+    """y = A @ x for BSR storage: batched block GEMV + block-row segment sum."""
+    nr, nc = bsr.shape
+    bm, bn = bsr.block_shape
+    if x.shape[0] != nc:
+        raise ValueError(f"bsr_spmv: dimension mismatch {bsr.shape} @ {x.shape}")
+    nbr = nr // bm
+    xb = x.reshape(nc // bn, bn)
+    xg = xb[bsr.indices]  # (nblocks, bn)
+    contrib = jnp.einsum(
+        "kij,kj->ki", bsr.blocks, xg.astype(bsr.blocks.dtype),
+        preferred_element_type=jnp.result_type(bsr.blocks, x),
+    )
+    brow = expand_indptr(bsr.indptr, int(bsr.blocks.shape[0]))
+    y = jnp.zeros((nbr, bm), dtype=contrib.dtype)
+    return y.at[brow].add(contrib, mode="drop").reshape(nr)
+
+
+def bsr_spmm(bsr, b):
+    """Y = A @ B for BSR storage and dense B (ncols, m): batched block GEMMs
+    on the MXU."""
+    nr, nc = bsr.shape
+    bm, bn = bsr.block_shape
+    if b.shape[0] != nc:
+        raise ValueError(f"bsr_spmm: dimension mismatch {bsr.shape} @ {b.shape}")
+    m = b.shape[1]
+    nbr = nr // bm
+    bb = b.reshape(nc // bn, bn, m)
+    bg = bb[bsr.indices]  # (nblocks, bn, m)
+    contrib = jnp.einsum(
+        "kij,kjm->kim", bsr.blocks, bg.astype(bsr.blocks.dtype),
+        preferred_element_type=jnp.result_type(bsr.blocks, b),
+    )
+    brow = expand_indptr(bsr.indptr, int(bsr.blocks.shape[0]))
+    y = jnp.zeros((nbr, bm, m), dtype=contrib.dtype)
+    return y.at[brow].add(contrib, mode="drop").reshape(nr, m)

@@ -1,0 +1,116 @@
+"""Structured formats (DIA/ELL/BSR), grid generators, and fast SpMV paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sparse_linear_tpu as sl
+from sparse_linear_tpu.formats.structured import csr_to_bsr, csr_to_dia, csr_to_ell
+from sparse_linear_tpu.utils.grids import laplacian_1d, poisson_2d, poisson_3d
+from tests.conftest import random_coo
+
+
+def dense(m):
+    return np.asarray(m.todense())
+
+
+def rand_csr(rng, nr, nc, dtype=np.float64):
+    rows, cols, vals = random_coo(rng, nr, nc, dtype)
+    return sl.from_triples((nr, nc), rows, cols, vals).tocsr()
+
+
+# ----------------------------------------------------------------- generators
+
+
+def test_laplacian_1d_structure():
+    a = laplacian_1d(6, dtype=np.float64)
+    sl.check_matrix(a)
+    d = dense(a)
+    expect = 2 * np.eye(6) - np.eye(6, k=1) - np.eye(6, k=-1)
+    np.testing.assert_array_equal(d, expect)
+
+
+def test_poisson_2d_vs_kron():
+    nx = 5
+    t = laplacian_1d(nx, dtype=np.float64)
+    i = sl.eye(nx, dtype=jnp.float64)
+    ref = (sl.kron(t, i) + sl.kron(i, t)).tocsr()
+    a = poisson_2d(nx, dtype=np.float64)
+    np.testing.assert_allclose(dense(a), dense(ref), atol=0)
+
+
+def test_poisson_3d_row_sums():
+    a = poisson_3d(3, dtype=np.float64)
+    d = dense(a)
+    np.testing.assert_array_equal(d, d.T)
+    assert d.shape == (27, 27)
+    # interior node has row sum 0; corner nodes 6-3=3
+    assert d.sum(axis=1).min() == 0
+    assert d[0].sum() == 3
+
+
+# ------------------------------------------------------------------- formats
+
+
+@pytest.mark.parametrize("gen", [laplacian_1d, poisson_2d])
+def test_dia_roundtrip_and_spmv(gen, rng):
+    a = gen(7, dtype=np.float64)
+    dia = csr_to_dia(a)
+    np.testing.assert_array_equal(dense(dia), dense(a))
+    x = rng.standard_normal(dia.shape[1])
+    np.testing.assert_allclose(np.asarray(dia @ x), dense(a) @ x, atol=1e-12)
+
+
+def test_dia_rectangular(rng):
+    m = rand_csr(rng, 5, 8)
+    dia = csr_to_dia(m)
+    np.testing.assert_allclose(dense(dia), dense(m), atol=0)
+    x = rng.standard_normal(8)
+    np.testing.assert_allclose(np.asarray(dia @ x), dense(m) @ x, atol=1e-12)
+
+
+def test_ell_roundtrip_and_spmv(rng):
+    m = rand_csr(rng, 9, 6)
+    ell = csr_to_ell(m)
+    np.testing.assert_allclose(dense(ell), dense(m), atol=0)
+    x = rng.standard_normal(6)
+    np.testing.assert_allclose(np.asarray(ell @ x), dense(m) @ x, atol=1e-12)
+    with pytest.raises(ValueError, match="exceeds width"):
+        csr_to_ell(m, width=1)
+
+
+def test_bsr_roundtrip_and_spmv(rng):
+    a = poisson_2d(4, dtype=np.float64)  # 16x16
+    bsr = csr_to_bsr(a, block_shape=(4, 4))
+    np.testing.assert_allclose(dense(bsr), dense(a), atol=0)
+    x = rng.standard_normal(16)
+    np.testing.assert_allclose(np.asarray(bsr @ x), dense(a) @ x, atol=1e-12)
+    b = rng.standard_normal((16, 3))
+    np.testing.assert_allclose(np.asarray(bsr @ b), dense(a) @ b, atol=1e-12)
+    with pytest.raises(ValueError, match="not divisible"):
+        csr_to_bsr(a, block_shape=(5, 4))
+
+
+def test_structured_spmv_under_jit(rng):
+    a = poisson_2d(6, dtype=np.float32)
+    dia = csr_to_dia(a)
+    x = rng.standard_normal(36).astype(np.float32)
+
+    @jax.jit
+    def f(d, x):
+        return d @ x
+
+    np.testing.assert_allclose(
+        np.asarray(f(dia, x)), dense(a) @ x, rtol=1e-5
+    )
+
+
+def test_dia_spmv_large_agreement(rng):
+    # larger stencil problem: DIA vs CSR-segment-sum paths agree
+    a_csr = poisson_2d(32, dtype=np.float64)
+    a_dia = poisson_2d(32, dtype=np.float64, fmt="dia")
+    x = rng.standard_normal(32 * 32)
+    np.testing.assert_allclose(
+        np.asarray(a_dia @ x), np.asarray(a_csr @ x), atol=1e-12
+    )
