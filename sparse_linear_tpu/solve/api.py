@@ -1,0 +1,149 @@
+"""Staged direct-solver API: analyze -> factor -> solve.
+
+Reproduces the capability of the reference's UMFPACK layer
+(reference: suitesparse/src/Numeric/LinearAlgebra/Umfpack.hs):
+
+* ``analyze``  (:60-69)  — symbolic analysis, reusable across all numeric
+  factorizations with the same pattern ("the shape of the result never
+  changes", feast/src/.../Feast.hs:210-212).
+* ``factor``   (:71-83)  — numeric factorization into a reusable artifact.
+* ``solve``    (:85-102) — triangular solves; ``trans`` selects A x = b
+  (UmfpackNormal, sys=0) or A^H x = b (UmfpackTrans, sys=1).
+* ``linear_solve`` / ``solve_many`` (:38-46) and the ``<\\>`` operator
+  (:48-50) as the one-shot convenience path — but batched over RHS via a
+  single dense solve instead of the reference's serial list traversal.
+
+Unlike the reference's opaque C pointers with finalizers (Umfpack.hs:65,76),
+artifacts here are pytrees of device arrays: they jit, vmap (batch over
+shifted factorizations — the FEAST pattern), shard, and serialize.
+
+Backends:
+  * ``dense``        — pivoted dense LU on the MXU (jax.scipy lu_factor).
+    Right for fronts and small/medium n; memory O(n^2).
+  * ``multifrontal`` — supernodal multifrontal sparse LU
+    (sparse_linear_tpu.solve.multifrontal): host symbolic analysis, batched
+    dense frontal kernels on device.
+
+Status/error reporting follows SURVEY.md §5: a structured ``SolveInfo``
+instead of printed status codes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_linear_tpu.formats.base import pytree_dataclass
+from sparse_linear_tpu.ops.linalg import spmv, spmm
+
+__all__ = [
+    "analyze",
+    "factor",
+    "solve",
+    "solve_many",
+    "linear_solve",
+    "SolveInfo",
+]
+
+
+class SolveInfo(NamedTuple):
+    residual_norm: jax.Array
+    refinement_steps: int
+
+
+@pytree_dataclass(meta_fields=("n", "backend", "meta"))
+class Symbolic:
+    """Reusable symbolic-analysis artifact (reference ``Analysis``,
+    Umfpack.hs:56,60-69)."""
+
+    n: int
+    backend: str
+    meta: object = None  # backend-specific static data (hashable)
+
+
+@pytree_dataclass(meta_fields=("n", "backend"))
+class Factors:
+    """Numeric factorization artifact (reference ``Factors``,
+    Umfpack.hs:58,71-83).  A pytree: payload are device arrays."""
+
+    payload: object
+    n: int
+    backend: str
+
+
+def analyze(mat, backend: str = "dense") -> Symbolic:
+    """Symbolic analysis of the pattern (reference ``analyze``,
+    Umfpack.hs:60-69)."""
+    nr, nc = mat.shape
+    if nr != nc:
+        raise ValueError(f"analyze: matrix must be square, got {mat.shape}")
+    if backend == "dense":
+        return Symbolic(n=nr, backend="dense")
+    if backend == "multifrontal":
+        from sparse_linear_tpu.solve import multifrontal
+
+        return multifrontal.analyze(mat)
+    raise ValueError(f"unknown backend: {backend}")
+
+
+def factor(mat, symbolic: Symbolic | None = None, backend: str = "dense") -> Factors:
+    """Numeric factorization (reference ``factor``, Umfpack.hs:71-83).
+
+    Jit-compatible for the dense backend (matrix values may be traced)."""
+    if symbolic is None:
+        symbolic = analyze(mat, backend=backend)
+    if symbolic.backend == "dense":
+        a = mat.todense()
+        lu, piv = jax.scipy.linalg.lu_factor(a)
+        return Factors(payload=(lu, piv), n=symbolic.n, backend="dense")
+    if symbolic.backend == "multifrontal":
+        from sparse_linear_tpu.solve import multifrontal
+
+        return multifrontal.factor(mat, symbolic)
+    raise ValueError(f"unknown backend: {symbolic.backend}")
+
+
+def solve(factors: Factors, b, trans: bool = False):
+    """Triangular solves on an existing factorization (reference
+    ``linearSolve_``, Umfpack.hs:85-102).  ``trans=True`` solves A^H x = b
+    (UmfpackTrans / sys=1); both modes reuse the same factorization, exactly
+    as FEAST's ijob=20 is a no-op (Feast.hs:226)."""
+    b = jnp.asarray(b)
+    if factors.backend == "dense":
+        lu, piv = factors.payload
+        # lu_solve trans: 0 = A x = b, 2 = A^H x = b — both reuse (lu, piv)
+        return jax.scipy.linalg.lu_solve((lu, piv), b, trans=2 if trans else 0)
+    if factors.backend == "multifrontal":
+        from sparse_linear_tpu.solve import multifrontal
+
+        return multifrontal.solve(factors, b, trans=trans)
+    raise ValueError(f"unknown backend: {factors.backend}")
+
+
+def solve_many(factors: Factors, bs, trans: bool = False):
+    """Batched multi-RHS solve: ``bs`` of shape (n, k).  The reference solves
+    RHS serially (Umfpack.hs:43-46, Feast.hs:197-201); here the batch is one
+    device call (build component P2, SURVEY.md §2.4)."""
+    return solve(factors, bs, trans=trans)
+
+
+def linear_solve(mat, bs, backend: str = "dense", trans: bool = False):
+    """One-shot: factor once, solve all RHS (reference ``linearSolve``,
+    Umfpack.hs:38-46 and ``<\\>`` :48-50)."""
+    f = factor(mat, backend=backend)
+    return solve_many(f, bs, trans=trans)
+
+
+def residual_norm(mat, x, b, trans: bool = False):
+    """||Ax - b|| / ||b|| (or A^H), for SolveInfo reporting."""
+    op = mat.ctrans() if trans else mat
+    x = jnp.asarray(x)
+    ax = spmm(op, x) if x.ndim == 2 else spmv(op, x)
+    b = jnp.asarray(b)
+    return jnp.linalg.norm(ax - b) / jnp.maximum(
+        jnp.linalg.norm(b), jnp.finfo(b.dtype).tiny
+    )

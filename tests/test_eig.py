@@ -1,0 +1,116 @@
+"""Eigensolver tests.
+
+Includes the reference's analytic gate: the 2x2 pencil [[2,-1],[-1,2]] has
+eigenvalues {1, 3}; found values must match to relative error < 1e-10
+(feast/tests/test-feast.hs:14-32).  Extended with analytic Laplacian spectra
+and generalized pencils (SURVEY.md §4d)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sparse_linear_tpu as sl
+from sparse_linear_tpu.eig.feast import (
+    INFO_NO_EIGENVALUES,
+    INFO_OK,
+    EigResult,
+    FeastParams,
+    eigsh,
+    geigsh,
+)
+from sparse_linear_tpu.utils.grids import laplacian_1d
+
+
+def test_analytic_2x2():
+    """The reference's test-feast.hs gate, at the same 1e-10 tolerance."""
+    a = sl.from_triples(
+        (2, 2), [0, 0, 1, 1], [0, 1, 0, 1], [2.0, -1.0, -1.0, 2.0]
+    ).tocsr()
+    res = eigsh(2, (0.0, 4.0), a)
+    assert res.n_found == 2
+    np.testing.assert_allclose(res.values, [1.0, 3.0], rtol=1e-10)
+    assert res.epsout < 1e-10
+
+
+def test_analytic_2x2_complex_hermitian():
+    """sigma_y-like Hermitian complex matrix: [[2, -i], [i, 2]] has
+    eigenvalues {1, 3}."""
+    a = sl.from_triples(
+        (2, 2), [0, 0, 1, 1], [0, 1, 0, 1],
+        np.array([2.0, -1j, 1j, 2.0], dtype=np.complex128),
+    ).tocsr()
+    res = eigsh(2, (0.0, 4.0), a)
+    assert res.n_found == 2
+    np.testing.assert_allclose(res.values, [1.0, 3.0], rtol=1e-10)
+
+
+def test_laplacian_interior_eigenvalues():
+    """1D Laplacian eigenvalues are 2 - 2 cos(k pi / (n+1)) — find the ones
+    inside a chosen window and match analytically to 1e-10."""
+    n = 24
+    a = laplacian_1d(n, dtype=np.float64)
+    exact = 2.0 - 2.0 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+    lo, hi = 0.5, 1.5
+    want = np.sort(exact[(exact >= lo) & (exact <= hi)])
+    res = eigsh(len(want) + 6, (lo, hi), a, FeastParams(tol=1e-13))
+    assert res.n_found == len(want)
+    np.testing.assert_allclose(res.values, want, rtol=1e-10)
+    assert res.info == INFO_OK
+    # eigenvectors satisfy the residual gate
+    ax = np.asarray(a.todense()) @ res.vectors
+    for i, lam in enumerate(res.values):
+        r = np.linalg.norm(ax[:, i] - lam * res.vectors[:, i])
+        assert r < 1e-9
+
+
+def test_generalized_pencil():
+    """A x = lambda B x with B = diag(d): eigenvalues of D^{-1/2} A D^{-1/2}."""
+    n = 16
+    a = laplacian_1d(n, dtype=np.float64)
+    d = np.linspace(1.0, 2.0, n)
+    b = sl.diag(jnp.asarray(d))
+    ad = np.asarray(a.todense())
+    exact = np.sort(
+        np.linalg.eigvalsh(
+            np.diag(d ** -0.5) @ ad @ np.diag(d ** -0.5)
+        )
+    )
+    lo, hi = 0.3, 1.2
+    want = exact[(exact >= lo) & (exact <= hi)]
+    res = geigsh(len(want) + 4, (lo, hi), a, b, FeastParams(tol=1e-13))
+    assert res.n_found == len(want)
+    np.testing.assert_allclose(res.values, want, rtol=1e-10)
+    # B-orthonormality
+    gram = res.vectors.T @ (np.diag(d) @ res.vectors)
+    np.testing.assert_allclose(gram, np.eye(res.n_found), atol=1e-8)
+
+
+def test_empty_interval_info():
+    a = laplacian_1d(10, dtype=np.float64)
+    res = eigsh(4, (100.0, 200.0), a, FeastParams(max_loops=6))
+    assert res.n_found == 0
+    assert res.info == INFO_NO_EIGENVALUES
+
+
+def test_warm_restart_converges_faster():
+    n = 24
+    a = laplacian_1d(n, dtype=np.float64)
+    p = FeastParams(tol=1e-13)
+    first = eigsh(8, (0.5, 1.5), a, p)
+    again = eigsh(8, (0.5, 1.5), a, p, guess=first.subspace)
+    assert again.iterations <= first.iterations
+    np.testing.assert_allclose(again.values, first.values, rtol=1e-10)
+
+
+def test_non_hermitian_rejected():
+    a = sl.from_triples((2, 2), [0], [1], [1.0]).tocsr()
+    with pytest.raises(ValueError, match="hermitian"):
+        eigsh(1, (0.0, 1.0), a)
+
+
+def test_invalid_args():
+    a = laplacian_1d(4, dtype=np.float64)
+    with pytest.raises(ValueError, match="interval"):
+        eigsh(2, (1.0, 1.0), a)
+    with pytest.raises(ValueError, match="m0"):
+        eigsh(0, (0.0, 1.0), a)

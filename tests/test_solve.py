@@ -1,0 +1,102 @@
+"""Direct-solver API tests (dense backend): staged analyze/factor/solve,
+trans mode, batched RHS, residual gates.
+
+Goes beyond the reference's plumbing-only test (``ident <\\> v == v``,
+suitesparse/tests/test-umfpack.hs:16-19) with residual-based checks on
+Poisson operators (SURVEY.md §4c)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sparse_linear_tpu as sl
+from sparse_linear_tpu.solve import api as solve_api
+from sparse_linear_tpu.utils.grids import laplacian_1d, poisson_2d
+from tests.conftest import random_coo
+
+
+def test_identity_solve(rng, dtype):
+    # the reference's only solver property
+    v = rng.standard_normal(9).astype(dtype)
+    x = solve_api.linear_solve(sl.eye(9, dtype=dtype), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(x), v, atol=1e-14)
+
+
+def test_poisson_solve_residual(rng, dtype):
+    a = poisson_2d(8, dtype=np.float64)
+    if np.issubdtype(dtype, np.complexfloating):
+        a = a.map_values(lambda v: v.astype(dtype))
+    b = rng.standard_normal(64).astype(dtype)
+    x = solve_api.linear_solve(a, jnp.asarray(b))
+    r = solve_api.residual_norm(a, x, b)
+    assert float(r) < 1e-12
+
+
+def test_staged_reuse(rng):
+    """One symbolic, several numerics with the same pattern — the FEAST
+    usage pattern (Feast.hs:210-218)."""
+    a = laplacian_1d(20, dtype=np.float64)
+    sym = solve_api.analyze(a)
+    b = rng.standard_normal(20)
+    for shift in [0.0, 0.5, 1.5]:
+        mat = sl.lin(1.0, a, -shift, sl.eye(20, dtype=jnp.float64))
+        f = solve_api.factor(mat, sym)
+        x = solve_api.solve(f, jnp.asarray(b))
+        assert float(solve_api.residual_norm(mat, x, b)) < 1e-12
+
+
+def test_trans_solve(rng, dtype):
+    rows, cols, vals = random_coo(rng, 8, 8, dtype)
+    a = sl.from_triples((8, 8), rows, cols, vals).tocsr()
+    a = sl.add(a, sl.eye(8, dtype=dtype).scale(8.0)).tocsr()  # well-conditioned
+    b = rng.standard_normal(8).astype(dtype)
+    f = solve_api.factor(a)
+    x = solve_api.solve(f, jnp.asarray(b), trans=True)
+    # A^H x = b
+    r = np.asarray(a.todense()).conj().T @ np.asarray(x) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-12
+
+
+def test_batched_rhs(rng, dtype):
+    a = poisson_2d(5, dtype=np.float64)
+    if np.issubdtype(dtype, np.complexfloating):
+        a = a.map_values(lambda v: v.astype(dtype))
+    bs = rng.standard_normal((25, 6)).astype(dtype)
+    f = solve_api.factor(a)
+    xs = solve_api.solve_many(f, jnp.asarray(bs))
+    assert xs.shape == (25, 6)
+    r = np.asarray(a.todense()) @ np.asarray(xs) - bs
+    assert np.linalg.norm(r) / np.linalg.norm(bs) < 1e-12
+
+
+def test_nonsquare_rejected():
+    with pytest.raises(ValueError, match="square"):
+        solve_api.analyze(sl.zeros((3, 4), dtype=jnp.float64))
+
+
+def test_cg_poisson(rng):
+    from sparse_linear_tpu.formats.structured import csr_to_dia
+    from sparse_linear_tpu.solve.cg import cg
+
+    a = poisson_2d(10, dtype=np.float64)
+    dia = csr_to_dia(a)
+    b = rng.standard_normal(100)
+    res = cg(lambda x: dia @ x, jnp.asarray(b), tol=1e-12, maxiter=2000)
+    assert bool(res.converged)
+    r = np.asarray(a.todense()) @ np.asarray(res.x) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
+
+
+def test_solve_matches_scipy(rng):
+    """Ground-truth comparison against an independent implementation."""
+    scipy_sparse = pytest.importorskip("scipy.sparse")
+    from scipy.sparse.linalg import spsolve
+
+    a = poisson_2d(7, dtype=np.float64)
+    b = rng.standard_normal(49)
+    x = solve_api.linear_solve(a, jnp.asarray(b))
+    a_sp = scipy_sparse.csr_matrix(
+        (np.asarray(a.data), np.asarray(a.indices), np.asarray(a.indptr)),
+        shape=a.shape,
+    )
+    np.testing.assert_allclose(np.asarray(x), spsolve(a_sp, b), atol=1e-10)
