@@ -1,0 +1,103 @@
+"""Loader for the native C++ symbolic-analysis library.
+
+Builds ``native/libslt_symbolic.so`` on demand with g++ (the toolchain is part
+of the target image) and binds it through ctypes.  A pure-Python fallback
+(``sparse_linear_tpu.solve.symbolic_py``) covers environments without a
+compiler — same results, slower.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO_PATH = os.path.join(_NATIVE_DIR, "libslt_symbolic.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "symbolic.cpp")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build():
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", _SRC_PATH, "-o", _SO_PATH],
+        check=True,
+        capture_output=True,
+    )
+
+
+def load():
+    """Return the bound library, building it if needed; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO_PATH) or (
+                os.path.exists(_SRC_PATH)
+                and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
+            ):
+                _build()
+            lib = ctypes.CDLL(_SO_PATH)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.slt_analyze.restype = ctypes.c_void_p
+        lib.slt_analyze.argtypes = [
+            ctypes.c_int, i32p, i32p, ctypes.c_int, ctypes.c_double,
+        ]
+        lib.slt_sizes.restype = None
+        lib.slt_sizes.argtypes = [ctypes.c_void_p, i64p]
+        lib.slt_arrays.restype = None
+        lib.slt_arrays.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, i32p, i32p]
+        lib.slt_free.restype = None
+        lib.slt_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def native_symbolic(n, indptr, indices, relax_small=16, relax_frac=0.25):
+    """Run the native symbolic analysis.  Returns dict of numpy arrays or
+    None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    h = lib.slt_analyze(int(n), indptr, indices, int(relax_small),
+                        float(relax_frac))
+    try:
+        sizes = np.zeros(6, dtype=np.int64)
+        lib.slt_sizes(h, sizes)
+        nsuper, rows_total = int(sizes[0]), int(sizes[1])
+        sup_start = np.zeros(nsuper + 1, dtype=np.int32)
+        sup_parent = np.zeros(nsuper, dtype=np.int32)
+        sup_level = np.zeros(nsuper, dtype=np.int32)
+        rows_ptr = np.zeros(nsuper + 1, dtype=np.int32)
+        rows = np.zeros(rows_total, dtype=np.int32)
+        lib.slt_arrays(h, sup_start, sup_parent, sup_level, rows_ptr, rows)
+        return {
+            "nsuper": nsuper,
+            "sup_start": sup_start,
+            "sup_parent": sup_parent,
+            "sup_level": sup_level,
+            "rows_ptr": rows_ptr,
+            "rows": rows,
+            "lnnz": int(sizes[2]),
+            "height": int(sizes[3]),
+            "max_front": int(sizes[4]),
+            "max_pivots": int(sizes[5]),
+        }
+    finally:
+        lib.slt_free(h)
