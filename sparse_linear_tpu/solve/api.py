@@ -45,6 +45,7 @@ __all__ = [
     "factor",
     "solve",
     "solve_many",
+    "solve_refined",
     "linear_solve",
     "SolveInfo",
 ]
@@ -75,9 +76,10 @@ class Factors:
     backend: str
 
 
-def analyze(mat, backend: str = "dense") -> Symbolic:
+def analyze(mat, backend: str = "dense", **opts) -> Symbolic:
     """Symbolic analysis of the pattern (reference ``analyze``,
-    Umfpack.hs:60-69)."""
+    Umfpack.hs:60-69).  ``opts`` pass through to the backend (multifrontal:
+    ordering=..., dims=..., relax_small=..., relax_frac=...)."""
     nr, nc = mat.shape
     if nr != nc:
         raise ValueError(f"analyze: matrix must be square, got {mat.shape}")
@@ -86,16 +88,17 @@ def analyze(mat, backend: str = "dense") -> Symbolic:
     if backend == "multifrontal":
         from sparse_linear_tpu.solve import multifrontal
 
-        return multifrontal.analyze(mat)
+        return multifrontal.analyze(mat, **opts)
     raise ValueError(f"unknown backend: {backend}")
 
 
-def factor(mat, symbolic: Symbolic | None = None, backend: str = "dense") -> Factors:
+def factor(mat, symbolic: Symbolic | None = None, backend: str = "dense",
+           **opts) -> Factors:
     """Numeric factorization (reference ``factor``, Umfpack.hs:71-83).
 
     Jit-compatible for the dense backend (matrix values may be traced)."""
     if symbolic is None:
-        symbolic = analyze(mat, backend=backend)
+        symbolic = analyze(mat, backend=backend, **opts)
     if symbolic.backend == "dense":
         a = mat.todense()
         lu, piv = jax.scipy.linalg.lu_factor(a)
@@ -131,11 +134,43 @@ def solve_many(factors: Factors, bs, trans: bool = False):
     return solve(factors, bs, trans=trans)
 
 
-def linear_solve(mat, bs, backend: str = "dense", trans: bool = False):
+def linear_solve(mat, bs, backend: str = "dense", trans: bool = False,
+                 **opts):
     """One-shot: factor once, solve all RHS (reference ``linearSolve``,
     Umfpack.hs:38-46 and ``<\\>`` :48-50)."""
-    f = factor(mat, backend=backend)
+    f = factor(mat, backend=backend, **opts)
     return solve_many(f, bs, trans=trans)
+
+
+def solve_refined(factors: Factors, mat, b, trans: bool = False,
+                  tol: float = 1e-10, max_iter: int = 20,
+                  residual_dtype=jnp.float64):
+    """Mixed-precision iterative refinement (Wilkinson): solve with the
+    (possibly low-precision) factors, then correct with residuals computed
+    in ``residual_dtype``.
+
+    The TPU-native accuracy path: the MXU factors in f32, the residual SpMV
+    streams in (emulated) f64, and refinement recovers ~f64 backward error
+    whenever kappa(A) * eps_f32 < 1.  Returns (x, SolveInfo).
+    """
+    b = jnp.asarray(b)
+    op = mat.ctrans().tocsr() if trans else mat
+    hi = jnp.promote_types(residual_dtype, b.dtype)
+    b_hi = b.astype(hi)
+    bnorm = jnp.maximum(jnp.linalg.norm(b_hi), jnp.finfo(hi).tiny)
+    x = solve(factors, b, trans=trans).astype(hi)
+    steps = 0
+    rnorm = jnp.inf
+    for it in range(max_iter):
+        ax = spmm(op, x) if x.ndim == 2 else spmv(op, x)
+        r = b_hi - ax
+        rnorm = jnp.linalg.norm(r) / bnorm
+        steps = it
+        if float(rnorm) <= tol:
+            break
+        dx = solve(factors, r.astype(b.dtype), trans=trans)
+        x = x + dx.astype(hi)
+    return x, SolveInfo(residual_norm=rnorm, refinement_steps=steps)
 
 
 def residual_norm(mat, x, b, trans: bool = False):

@@ -1,0 +1,559 @@
+"""Supernodal multifrontal sparse LU — the TPU-native direct solver core.
+
+From-scratch replacement for the capability the reference binds from UMFPACK
+(reference: suitesparse/src/Numeric/LinearAlgebra/Umfpack/Internal.hs:69-148,
+Umfpack.hs:38-102): staged symbolic analysis / numeric factorization /
+triangular solves with reusable artifacts.
+
+TPU-first design (SURVEY.md §7 layer 4):
+
+* The host symbolic phase (native C++ engine, utils/native.py) produces an
+  elimination forest of supernodes.  Supernodes at the same tree level are
+  independent, so the device schedule groups them into **buckets** of
+  identical padded shape (pivot class Ns x update class Us) and executes each
+  bucket as ONE batched dense operation: assembly by scatter-add, partial
+  factorization by batched LU, Schur complements by batched GEMM on the MXU.
+  No per-column scalar loops — the irregular sparse elimination becomes a
+  short sequence of large dense batched kernels.
+* Pivoting is *restricted* to the supernode pivot block (batched partial
+  pivoting inside F11).  For SPD / diagonally dominant systems this is exact;
+  for tougher systems pair with iterative refinement (solve(..., refine=k)).
+* Artifacts are pytrees of device arrays: they persist, transfer, and are
+  reused across many numeric factorizations of the same pattern — the
+  analyze-once / factor-many staging FEAST depends on
+  (reference Feast.hs:210-218).
+
+Front layout (per supernode, padded to its bucket's classes):
+
+        Ns (pivot class)   Us (update class)
+      +------------------+------------------+
+   Ns |  F11 (pivots)    |  F12 (U block)   |    rows 0..ns-1   : pivot rows
+      +------------------+------------------+    rows ns..Ns-1  : identity pad
+   Us |  F21 (L block)   |  F22 (Schur)     |    rows Ns..Ns+us : update rows
+      +------------------+------------------+
+
+Padding is inert by construction: padded pivot rows/cols are identity,
+padded update rows/cols are zero, and all index maps send padding to
+out-of-range sentinels dropped by scatter ``mode="drop"``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_linear_tpu.formats.matrix import CSR
+from sparse_linear_tpu.ops.build import trim
+
+__all__ = ["analyze", "factor", "solve", "MFSymbolic", "MFFactors"]
+
+
+def _class_of(x: int, lo: int = 8) -> int:
+    c = lo
+    while c < x:
+        c *= 2
+    return c
+
+
+class MFSymbolic:
+    """Symbolic artifact: ordering + supernode forest + device schedule.
+
+    Host object (not a pytree): reused across numeric factorizations with
+    the same pattern.  ``backend`` attribute makes it duck-compatible with
+    solve.api dispatch."""
+
+    backend = "multifrontal"
+
+    def __init__(self, n, perm, schedule, pattern_key, a_entry_maps):
+        self.n = n
+        self.perm = perm              # elimination order (np.int32)
+        self.iperm = np.empty_like(perm)
+        self.iperm[perm] = np.arange(n, dtype=perm.dtype)
+        self.schedule = schedule      # list of levels; each level: list of buckets
+        self.pattern_key = pattern_key  # (nnz, hash) for cheap validation
+        self.a_entry_maps = a_entry_maps  # per-bucket A-entry scatter arrays
+
+
+class MFFactors:
+    """Numeric artifact: per-bucket dense factor blocks (device arrays)."""
+
+    backend = "multifrontal"
+
+    def __init__(self, symbolic: MFSymbolic, blocks, dtype):
+        self.symbolic = symbolic
+        self.blocks = blocks  # dict[(lvl, b)] -> dict(lu, perm, g21, g12)
+        self.n = symbolic.n
+        self.dtype = dtype
+
+
+# ---------------------------------------------------------------------------
+# symbolic / schedule construction (host)
+# ---------------------------------------------------------------------------
+
+
+def _symmetrized_pattern(mat: CSR, perm):
+    """Permuted pattern of A + A^T + I as (indptr, indices), canonical CSR."""
+    n = mat.shape[0]
+    indptr = np.asarray(mat.indptr)
+    indices = np.asarray(mat.indices)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    cols = indices.astype(np.int64)
+    iperm = np.empty(n, dtype=np.int64)
+    iperm[perm] = np.arange(n)
+    pr = np.concatenate([iperm[rows], iperm[cols], np.arange(n)])
+    pc = np.concatenate([iperm[cols], iperm[rows], np.arange(n)])
+    key = pr * n + pc
+    key = np.unique(key)
+    pr, pc = key // n, key % n
+    out_indptr = np.zeros(n + 1, dtype=np.int32)
+    np.add.at(out_indptr, pr + 1, 1)
+    out_indptr = np.cumsum(out_indptr).astype(np.int32)
+    return out_indptr, pc.astype(np.int32)
+
+
+def _locate_in_fronts(sup_ids, rowvals, sup_start, rows_ptr, rows):
+    """Local front coordinates of global rows ``rowvals`` inside the fronts
+    of ``sup_ids`` (vectorized per supernode group)."""
+    out = np.empty(rowvals.shape[0], dtype=np.int64)
+    order = np.argsort(sup_ids, kind="stable")
+    s_sorted = sup_ids[order]
+    uniq = np.unique(s_sorted)
+    for s in uniq:
+        lo, hi = np.searchsorted(s_sorted, [s, s + 1])
+        sel = order[lo:hi]
+        rv = rowvals[sel]
+        c0, c1 = sup_start[s], sup_start[s + 1]
+        nc = c1 - c0
+        below = rows[rows_ptr[s] + nc: rows_ptr[s + 1]]
+        is_piv = rv < c1
+        loc = np.where(
+            is_piv,
+            rv - c0,
+            nc + np.searchsorted(below, np.clip(rv, c1, None)),
+        )
+        out[sel] = loc
+    return out
+
+
+def analyze(mat: CSR, ordering: str = "auto", dims=None,
+            relax_small: int = 16, relax_frac: float = 0.25) -> MFSymbolic:
+    """Symbolic analysis: ordering, supernode forest, batched device schedule.
+
+    ``dims``: grid dimensions when the matrix is a structured-grid operator —
+    enables geometric nested dissection.  Otherwise RCM is used.
+    """
+    from sparse_linear_tpu.solve import ordering as ord_mod
+    from sparse_linear_tpu.solve.symbolic_py import python_symbolic
+    from sparse_linear_tpu.utils.native import native_symbolic
+
+    mat = trim(mat.tocsr())
+    n = mat.shape[0]
+    if mat.shape[0] != mat.shape[1]:
+        raise ValueError("analyze: matrix must be square")
+
+    if ordering == "auto":
+        ordering = "nd" if dims is not None else "rcm"
+    if ordering in ("nd", "nested-dissection"):
+        perm = ord_mod.nested_dissection_grid(dims)
+    elif ordering == "rcm":
+        sp_ip, sp_ix = _symmetrized_pattern(mat, np.arange(n, dtype=np.int32))
+        perm = ord_mod.rcm(sp_ip, sp_ix, n)
+    elif ordering == "natural":
+        perm = ord_mod.natural(n)
+    else:
+        raise ValueError(f"unknown ordering: {ordering}")
+    perm = np.asarray(perm, dtype=np.int32)
+
+    ip, ix = _symmetrized_pattern(mat, perm)
+    sym = native_symbolic(n, ip, ix, relax_small, relax_frac)
+    if sym is None:
+        sym = python_symbolic(n, ip, ix, relax_small, relax_frac)
+
+    nsuper = sym["nsuper"]
+    sup_start = sym["sup_start"].astype(np.int64)
+    sup_parent = sym["sup_parent"]
+    sup_level = sym["sup_level"]
+    rows_ptr = sym["rows_ptr"].astype(np.int64)
+    rows = sym["rows"].astype(np.int64)
+
+    sup_of = np.repeat(np.arange(nsuper, dtype=np.int64), np.diff(sup_start))
+    nc_arr = np.diff(sup_start)
+    fs_arr = np.diff(rows_ptr)
+    us_arr = fs_arr - nc_arr
+
+    # ---- bucket assignment: (level, Ns class, Us class)
+    ns_class = np.array([_class_of(int(c)) for c in nc_arr])
+    us_class = np.array([_class_of(int(u)) if u > 0 else 8 for u in us_arr])
+    height = sym["height"]
+
+    buckets = {}  # (lvl, Ns, Us) -> list of sup ids
+    for s in range(nsuper):
+        key = (int(sup_level[s]), int(ns_class[s]), int(us_class[s]))
+        buckets.setdefault(key, []).append(s)
+    # canonical bucket ordering per level
+    level_buckets = [[] for _ in range(height + 1)]
+    bucket_of_sup = np.empty(nsuper, dtype=np.int64)  # flat bucket index
+    slot_of_sup = np.empty(nsuper, dtype=np.int64)
+    flat = []
+    for (lvl, nsc, usc), ids in sorted(buckets.items()):
+        bidx = len(flat)
+        flat.append(
+            {
+                "level": lvl,
+                "Ns": nsc,
+                "Us": usc,
+                "sup_ids": np.asarray(ids, dtype=np.int64),
+            }
+        )
+        level_buckets[lvl].append(bidx)
+        for slot, s in enumerate(ids):
+            bucket_of_sup[s] = bidx
+            slot_of_sup[s] = slot
+
+    # ---- A-entry scatter maps (permuted entries -> (bucket, slot, r, c))
+    indptr = np.asarray(mat.indptr)
+    indices = np.asarray(mat.indices)
+    e_rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    e_cols = indices.astype(np.int64)
+    iperm = np.empty(n, dtype=np.int64)
+    iperm[perm] = np.arange(n)
+    pr, pc = iperm[e_rows], iperm[e_cols]
+    m_lo = np.minimum(pr, pc)
+    owner = sup_of[m_lo]
+    loc_r = _locate_in_fronts(owner, pr, sup_start, rows_ptr, rows)
+    loc_c = _locate_in_fronts(owner, pc, sup_start, rows_ptr, rows)
+    # local -> padded coordinates: pivot i stays i, below k -> Ns + k
+    def to_padded(loc, s_ids):
+        nc_s = nc_arr[s_ids]
+        return np.where(loc < nc_s, loc, loc - nc_s + ns_class[s_ids])
+
+    pad_r = to_padded(loc_r, owner)
+    pad_c = to_padded(loc_c, owner)
+
+    a_entry_maps = {}
+    for bidx, b in enumerate(flat):
+        in_b = bucket_of_sup[owner] == bidx
+        a_entry_maps[bidx] = {
+            "src": np.nonzero(in_b)[0].astype(np.int32),
+            "slot": slot_of_sup[owner[in_b]].astype(np.int32),
+            "r": pad_r[in_b].astype(np.int32),
+            "c": pad_c[in_b].astype(np.int32),
+        }
+
+    # ---- child extend-add maps, grouped by (parent bucket, child bucket)
+    child_groups = {}  # parent bidx -> {child bidx -> lists}
+    for s in range(nsuper):
+        p = sup_parent[s]
+        if p < 0 or us_arr[s] == 0:
+            continue
+        pb = int(bucket_of_sup[p])
+        cb = int(bucket_of_sup[s])
+        upd_rows = rows[rows_ptr[s] + nc_arr[s]: rows_ptr[s + 1]]
+        loc = _locate_in_fronts(
+            np.full(upd_rows.shape[0], p, dtype=np.int64),
+            upd_rows, sup_start, rows_ptr, rows,
+        )
+        padded = np.where(
+            loc < nc_arr[p], loc, loc - nc_arr[p] + ns_class[p]
+        )
+        g = child_groups.setdefault(pb, {}).setdefault(
+            cb, {"cslot": [], "pslot": [], "maps": []}
+        )
+        g["cslot"].append(int(slot_of_sup[s]))
+        g["pslot"].append(int(slot_of_sup[p]))
+        m = np.full(flat[cb]["Us"], -1, dtype=np.int32)
+        m[: padded.shape[0]] = padded
+        g["maps"].append(m)
+
+    for pb, cbs in child_groups.items():
+        for cb, g in cbs.items():
+            g["cslot"] = np.asarray(g["cslot"], dtype=np.int32)
+            g["pslot"] = np.asarray(g["pslot"], dtype=np.int32)
+            g["maps"] = np.stack(g["maps"]).astype(np.int32)
+
+    # ---- per-bucket solve row maps (padded with sentinel n)
+    for bidx, b in enumerate(flat):
+        ids = b["sup_ids"]
+        nb = ids.shape[0]
+        ns_c, us_c = b["Ns"], b["Us"]
+        rows_piv = np.full((nb, ns_c), n, dtype=np.int32)
+        rows_upd = np.full((nb, us_c), n, dtype=np.int32)
+        ns_real = np.zeros(nb, dtype=np.int32)
+        for k, s in enumerate(ids):
+            c0, c1 = int(sup_start[s]), int(sup_start[s + 1])
+            nc = c1 - c0
+            ns_real[k] = nc
+            rows_piv[k, :nc] = np.arange(c0, c1)
+            ur = rows[rows_ptr[s] + nc: rows_ptr[s + 1]]
+            rows_upd[k, : ur.shape[0]] = ur
+        b["rows_piv"] = rows_piv
+        b["rows_upd"] = rows_upd
+        b["ns_real"] = ns_real
+        b["children"] = child_groups.get(bidx, {})
+
+    schedule = {
+        "flat": flat,
+        "level_buckets": level_buckets,
+        "height": height,
+        "nsuper": nsuper,
+    }
+    pattern_key = (int(mat.nnz), int(np.asarray(mat.indices)[:: max(1, mat.nnz // 97)].sum()))
+    return MFSymbolic(n, perm, schedule, pattern_key, a_entry_maps)
+
+
+# ---------------------------------------------------------------------------
+# numeric factorization (device)
+# ---------------------------------------------------------------------------
+#
+# The whole level/bucket loop is TRACED ONCE into a single XLA program per
+# symbolic artifact (and per RHS batch shape for solves): the irregular
+# elimination becomes one compiled sequence of batched dense ops with no
+# per-bucket dispatch or recompilation.  Compiled callables are cached on the
+# MFSymbolic / MFFactors objects.
+
+
+def _bucket_factor(front, ns_class):
+    """Batched partial factorization of assembled fronts.
+
+    front: (nb, Ns+Us, Ns+Us).  Returns (lu, perm, g21, g12, schur)."""
+    f11 = front[:, :ns_class, :ns_class]
+    f12 = front[:, :ns_class, ns_class:]
+    f21 = front[:, ns_class:, :ns_class]
+    f22 = front[:, ns_class:, ns_class:]
+    lu, _, permutation = jax.vmap(jax.lax.linalg.lu)(f11)
+    # L^{-1} P F12
+    pf12 = jnp.take_along_axis(f12, permutation[:, :, None], axis=1)
+    g12 = jax.vmap(
+        lambda l, b: jax.scipy.linalg.solve_triangular(
+            l, b, lower=True, unit_diagonal=True
+        )
+    )(lu, pf12)
+    # F21 U^{-1}  (solve U^T y = F21^T)
+    g21 = jax.vmap(
+        lambda u, b: jax.scipy.linalg.solve_triangular(
+            u, b, trans="T", lower=False
+        )
+    )(lu, jnp.swapaxes(f21, 1, 2))
+    g21 = jnp.swapaxes(g21, 1, 2)
+    schur = f22 - jnp.matmul(g21, g12, preferred_element_type=f22.dtype)
+    return lu, permutation, g21, g12, schur
+
+
+def _device_maps(symbolic: MFSymbolic):
+    """Schedule index maps as device arrays (built once, cached)."""
+    if getattr(symbolic, "_dev_maps", None) is not None:
+        return symbolic._dev_maps
+    flat = symbolic.schedule["flat"]
+    dm = {"a": {}, "children": {}, "rows_piv": {}, "rows_upd": {},
+          "ns_real": {}, "perm": jnp.asarray(symbolic.perm),
+          "iperm": jnp.asarray(symbolic.iperm)}
+    for bidx, b in enumerate(flat):
+        am = symbolic.a_entry_maps[bidx]
+        dm["a"][bidx] = {k: jnp.asarray(v) for k, v in am.items()}
+        ch = {}
+        fs = b["Ns"] + b["Us"]
+        for cb, g in b["children"].items():
+            m = np.where(g["maps"] < 0, fs, g["maps"])
+            ch[cb] = {
+                "cslot": jnp.asarray(g["cslot"]),
+                "pslot": jnp.asarray(g["pslot"]),
+                "maps": jnp.asarray(m),
+            }
+        dm["children"][bidx] = ch
+        dm["rows_piv"][bidx] = jnp.asarray(b["rows_piv"])
+        dm["rows_upd"][bidx] = jnp.asarray(b["rows_upd"])
+        dm["ns_real"][bidx] = jnp.asarray(b["ns_real"])
+    symbolic._dev_maps = dm
+    return dm
+
+
+def _build_factor_fn(symbolic: MFSymbolic):
+    flat = symbolic.schedule["flat"]
+    level_buckets = symbolic.schedule["level_buckets"]
+    height = symbolic.schedule["height"]
+
+    def run(a_data, dm):
+        dtype = a_data.dtype
+        blocks = {}
+        updates = {}
+        for lvl in range(height + 1):
+            for bidx in level_buckets[lvl]:
+                b = flat[bidx]
+                nb = b["sup_ids"].shape[0]
+                ns_c, us_c = b["Ns"], b["Us"]
+                fs = ns_c + us_c
+                front = jnp.zeros((nb, fs, fs), dtype=dtype)
+
+                am = dm["a"][bidx]
+                if am["src"].shape[0]:
+                    front = front.at[am["slot"], am["r"], am["c"]].add(
+                        a_data[am["src"]], mode="drop"
+                    )
+
+                for cb, g in dm["children"][bidx].items():
+                    u = updates[cb][g["cslot"]]
+                    m = g["maps"]
+                    front = front.at[
+                        g["pslot"][:, None, None],
+                        m[:, :, None],
+                        m[:, None, :],
+                    ].add(u, mode="drop")
+
+                diag_idx = jnp.arange(ns_c)
+                pad_mask = diag_idx[None, :] >= dm["ns_real"][bidx][:, None]
+                front = front.at[:, diag_idx, diag_idx].add(
+                    pad_mask.astype(dtype)
+                )
+
+                lu, permutation, g21, g12, schur = _bucket_factor(front, ns_c)
+                blocks[bidx] = {
+                    "lu": lu, "perm": permutation, "g21": g21, "g12": g12,
+                }
+                updates[bidx] = schur
+        return blocks
+
+    return jax.jit(run)
+
+
+def factor(mat: CSR, symbolic: MFSymbolic) -> MFFactors:
+    """Numeric factorization over the symbolic schedule (one compiled XLA
+    program; compile cost amortized across factorizations of the pattern)."""
+    mat = trim(mat.tocsr())
+    n = symbolic.n
+    if mat.shape != (n, n):
+        raise ValueError("factor: matrix shape does not match symbolic")
+    key = (int(mat.nnz), int(np.asarray(mat.indices)[:: max(1, mat.nnz // 97)].sum()))
+    if key != symbolic.pattern_key:
+        raise ValueError(
+            "factor: matrix pattern does not match the symbolic analysis "
+            "(analyze once per pattern, factor per value set)"
+        )
+    dm = _device_maps(symbolic)
+    fns = getattr(symbolic, "_factor_fns", None)
+    if fns is None:
+        fns = symbolic._factor_fns = {}
+    a_data = jnp.asarray(mat.data)
+    fkey = str(a_data.dtype)
+    if fkey not in fns:
+        fns[fkey] = _build_factor_fn(symbolic)
+    blocks = fns[fkey](a_data, dm)
+    return MFFactors(symbolic, blocks, a_data.dtype)
+
+
+# ---------------------------------------------------------------------------
+# triangular solves (device, level-batched, whole-solve jitted)
+# ---------------------------------------------------------------------------
+
+
+def _build_solve_fn(symbolic: MFSymbolic, trans: bool):
+    flat = symbolic.schedule["flat"]
+    level_buckets = symbolic.schedule["level_buckets"]
+    height = symbolic.schedule["height"]
+    n = symbolic.n
+
+    def run(blocks, b, dm):
+        k = b.shape[1]
+        # y carries an extra sentinel row (index n) absorbing padded gathers
+        y = jnp.concatenate(
+            [b[dm["perm"]], jnp.zeros((1, k), b.dtype)], axis=0
+        )
+        if not trans:
+            # forward: z_s = L^{-1} P y_piv ; y_upd -= G21 z_s
+            for lvl in range(height + 1):
+                for bidx in level_buckets[lvl]:
+                    blk = blocks[bidx]
+                    piv, upd = dm["rows_piv"][bidx], dm["rows_upd"][bidx]
+                    z = y[piv]
+                    z = jnp.take_along_axis(z, blk["perm"][:, :, None], axis=1)
+                    z = jax.vmap(
+                        lambda l, r: jax.scipy.linalg.solve_triangular(
+                            l, r, lower=True, unit_diagonal=True
+                        )
+                    )(blk["lu"], z)
+                    y = y.at[piv].set(z, mode="drop")
+                    y = y.at[upd].add(
+                        -jnp.matmul(blk["g21"], z,
+                                    preferred_element_type=z.dtype),
+                        mode="drop",
+                    )
+            # backward: x_piv = U^{-1} (z_piv - G12 x_upd)
+            for lvl in range(height, -1, -1):
+                for bidx in level_buckets[lvl]:
+                    blk = blocks[bidx]
+                    piv, upd = dm["rows_piv"][bidx], dm["rows_upd"][bidx]
+                    rhs = y[piv] - jnp.matmul(
+                        blk["g12"], y[upd], preferred_element_type=y.dtype
+                    )
+                    x = jax.vmap(
+                        lambda u, r: jax.scipy.linalg.solve_triangular(
+                            u, r, lower=False
+                        )
+                    )(blk["lu"], rhs)
+                    y = y.at[piv].set(x, mode="drop")
+        else:
+            # A'^H = U^H L^H P:
+            # forward (bottom-up): w = U^{-H} y_piv ; y_upd -= G12^H w
+            for lvl in range(height + 1):
+                for bidx in level_buckets[lvl]:
+                    blk = blocks[bidx]
+                    piv, upd = dm["rows_piv"][bidx], dm["rows_upd"][bidx]
+                    w = jax.vmap(
+                        lambda u, r: jax.scipy.linalg.solve_triangular(
+                            u, r, trans="C", lower=False
+                        )
+                    )(blk["lu"], y[piv])
+                    y = y.at[piv].set(w, mode="drop")
+                    y = y.at[upd].add(
+                        -jnp.matmul(
+                            jnp.conj(jnp.swapaxes(blk["g12"], 1, 2)), w,
+                            preferred_element_type=w.dtype,
+                        ),
+                        mode="drop",
+                    )
+            # backward (top-down): v = L^{-H}(w - G21^H v_upd); x = P^T v
+            for lvl in range(height, -1, -1):
+                for bidx in level_buckets[lvl]:
+                    blk = blocks[bidx]
+                    piv, upd = dm["rows_piv"][bidx], dm["rows_upd"][bidx]
+                    rhs = y[piv] - jnp.matmul(
+                        jnp.conj(jnp.swapaxes(blk["g21"], 1, 2)), y[upd],
+                        preferred_element_type=y.dtype,
+                    )
+                    v = jax.vmap(
+                        lambda l, r: jax.scipy.linalg.solve_triangular(
+                            l, r, trans="C", lower=True, unit_diagonal=True
+                        )
+                    )(blk["lu"], rhs)
+                    x = jnp.zeros_like(v).at[
+                        jnp.arange(v.shape[0])[:, None], blk["perm"]
+                    ].set(v)
+                    y = y.at[piv].set(x, mode="drop")
+
+        return y[:n][dm["iperm"]]
+
+    return jax.jit(run)
+
+
+def solve(factors: MFFactors, b, trans: bool = False):
+    """Solve A x = b (or A^H x = b with ``trans``) using the multifrontal
+    factors (reference ``linearSolve_`` modes, Umfpack.hs:85-102).
+    ``b``: (n,) or (n, k); the RHS batch is one device call (P2)."""
+    sym = factors.symbolic
+    b = jnp.asarray(b)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    if b.shape[0] != sym.n:
+        raise ValueError(f"solve: rhs has {b.shape[0]} rows, expected {sym.n}")
+    dm = _device_maps(sym)
+    fns = getattr(factors, "_solve_fns", None)
+    if fns is None:
+        fns = factors._solve_fns = {}
+    skey = (bool(trans), int(b.shape[1]), str(b.dtype))
+    if skey not in fns:
+        fns[skey] = _build_solve_fn(sym, trans)
+    x = fns[skey](factors.blocks, b, dm)
+    return x[:, 0] if squeeze else x

@@ -1,0 +1,184 @@
+"""Multifrontal sparse LU tests: orderings, symbolic, numeric, solves.
+
+UMFPACK-parity gates (SURVEY.md §4c, BASELINE config 3): residual-based
+checks at 1e-10+ on Poisson operators, staged reuse, A^H mode, complex
+shifted factorizations — the exact usage FEAST makes of the reference solver
+(Feast.hs:210-218)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sparse_linear_tpu as sl
+from sparse_linear_tpu.ops.linalg import spmv
+from sparse_linear_tpu.solve import api as solve_api
+from sparse_linear_tpu.solve import multifrontal as mf
+from sparse_linear_tpu.solve.ordering import (
+    nested_dissection_grid,
+    rcm,
+)
+from sparse_linear_tpu.utils.grids import laplacian_1d, poisson_2d, poisson_3d
+from tests.conftest import random_coo
+
+
+def residual(a, x, b):
+    return float(
+        jnp.linalg.norm(spmv(a, x) - jnp.asarray(b)) / np.linalg.norm(b)
+    )
+
+
+# ----------------------------------------------------------------- orderings
+
+
+def test_orderings_are_permutations():
+    a = poisson_2d(8, dtype=np.float64)
+    for perm in [
+        nested_dissection_grid((8, 8)),
+        rcm(np.asarray(a.indptr), np.asarray(a.indices), 64),
+    ]:
+        assert sorted(perm.tolist()) == list(range(64))
+
+
+def test_nd_tree_shallower_than_natural():
+    g = 32
+    a = poisson_2d(g, dtype=np.float64)
+    s_nat = mf.analyze(a, ordering="natural")
+    s_nd = mf.analyze(a, dims=(g, g))
+    # ND produces a balanced elimination forest; natural ordering a chain
+    assert s_nd.schedule["height"] <= s_nat.schedule["height"]
+
+
+# ------------------------------------------------------------------- numeric
+
+
+@pytest.mark.parametrize("ordering,dims", [("natural", None), ("rcm", None),
+                                           ("nd", (12, 12))])
+def test_poisson_solve_all_orderings(ordering, dims, rng):
+    g = 12
+    a = poisson_2d(g, dtype=np.float64)
+    sym = mf.analyze(a, ordering=ordering, dims=dims)
+    f = mf.factor(a, sym)
+    b = rng.standard_normal(g * g)
+    x = mf.solve(f, jnp.asarray(b))
+    assert residual(a, x, b) < 1e-12
+
+
+def test_poisson_3d(rng):
+    a = poisson_3d(6, dtype=np.float64)  # 216 dof
+    sym = mf.analyze(a, dims=(6, 6, 6))
+    f = mf.factor(a, sym)
+    b = rng.standard_normal(216)
+    x = mf.solve(f, jnp.asarray(b))
+    assert residual(a, x, b) < 1e-12
+
+
+def test_laplacian_1d(rng):
+    a = laplacian_1d(200, dtype=np.float64)
+    sym = mf.analyze(a, dims=(200,))
+    f = mf.factor(a, sym)
+    b = rng.standard_normal(200)
+    assert residual(a, mf.solve(f, jnp.asarray(b)), b) < 1e-12
+
+
+def test_unsymmetric_values_symmetric_pattern(rng):
+    """LU (not Cholesky): unsymmetric values on a symmetric pattern."""
+    g = 10
+    a = poisson_2d(g, dtype=np.float64)
+    # perturb off-diagonal values asymmetrically but keep diagonal dominance
+    d = np.asarray(a.todense())
+    pert = 0.3 * rng.standard_normal(d.shape) * (d != 0) * (1 - np.eye(g * g))
+    d2 = d + pert
+    a2 = sl.from_dense(d2)
+    sym = mf.analyze(a2, dims=(g, g))
+    f = mf.factor(a2, sym)
+    b = rng.standard_normal(g * g)
+    x = mf.solve(f, jnp.asarray(b))
+    assert np.linalg.norm(d2 @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-11
+
+
+def test_trans_solve(rng):
+    g = 10
+    a = poisson_2d(g, dtype=np.float64)
+    d = np.asarray(a.todense())
+    pert = 0.2 * rng.standard_normal(d.shape) * (d != 0) * (1 - np.eye(g * g))
+    a2 = sl.from_dense(d + pert)
+    f = mf.factor(a2, mf.analyze(a2, dims=(g, g)))
+    b = rng.standard_normal(g * g)
+    xt = mf.solve(f, jnp.asarray(b), trans=True)
+    r = np.linalg.norm((d + pert).T @ np.asarray(xt) - b) / np.linalg.norm(b)
+    assert r < 1e-11
+
+
+def test_staged_reuse_shifts(rng):
+    """One symbolic, many numerics (the FEAST pattern) incl. complex shifts."""
+    g = 8
+    a = poisson_2d(g, dtype=np.float64)
+    n = g * g
+    i = sl.eye(n, dtype=jnp.float64)
+    pattern = sl.lin(1.0 + 0j, i, -1.0 + 0j, a)
+    sym = mf.analyze(pattern, dims=(g, g))
+    b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    for z in [0.5 + 0.3j, 2.0 + 1.0j, -1.0 + 0.1j]:
+        zb_a = sl.lin(z, i, -1.0 + 0.0j, a)
+        f = mf.factor(zb_a, sym)
+        x = mf.solve(f, jnp.asarray(b))
+        assert residual(zb_a, x, b) < 1e-12
+        xt = mf.solve(f, jnp.asarray(b), trans=True)
+        assert residual(zb_a.ctrans().tocsr(), xt, b) < 1e-12
+
+
+def test_multi_rhs(rng):
+    g = 10
+    a = poisson_2d(g, dtype=np.float64)
+    f = mf.factor(a, mf.analyze(a, dims=(g, g)))
+    bs = rng.standard_normal((g * g, 5))
+    xs = mf.solve(f, jnp.asarray(bs))
+    assert xs.shape == (g * g, 5)
+    r = np.linalg.norm(
+        np.asarray(a.todense()) @ np.asarray(xs) - bs
+    ) / np.linalg.norm(bs)
+    assert r < 1e-12
+
+
+def test_pattern_mismatch_rejected(rng):
+    a = poisson_2d(6, dtype=np.float64)
+    sym = mf.analyze(a, dims=(6, 6))
+    other = laplacian_1d(36, dtype=np.float64)
+    with pytest.raises(ValueError, match="pattern"):
+        mf.factor(other, sym)
+
+
+def test_api_dispatch(rng):
+    a = poisson_2d(8, dtype=np.float64)
+    x = solve_api.linear_solve(
+        a, jnp.asarray(rng.standard_normal(64)),
+        backend="multifrontal", dims=(8, 8),
+    )
+    assert x.shape == (64,)
+
+
+def test_random_spd_rcm(rng):
+    """General (non-grid) SPD matrix through the RCM path."""
+    n = 40
+    m = rng.standard_normal((n, n)) * (rng.random((n, n)) < 0.15)
+    spd = m @ m.T + n * np.eye(n)
+    spd[np.abs(spd) < 1e-10] = 0.0
+    a = sl.from_dense(spd)
+    sym = mf.analyze(a, ordering="rcm")
+    f = mf.factor(a, sym)
+    b = rng.standard_normal(n)
+    x = mf.solve(f, jnp.asarray(b))
+    assert np.linalg.norm(spd @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-11
+
+
+def test_iterative_refinement_mixed_precision(rng):
+    """f32 factors + f64 refinement reach 1e-10 (the TPU accuracy path)."""
+    g = 16
+    a32 = poisson_2d(g, dtype=np.float32)
+    a64 = poisson_2d(g, dtype=np.float64)
+    f = mf.factor(a32, mf.analyze(a32, dims=(g, g)))
+    b = rng.standard_normal(g * g)
+    x, info = solve_api.solve_refined(f, a64, jnp.asarray(b), tol=1e-11)
+    assert float(info.residual_norm) < 1e-11
+    assert residual(a64, x, b) < 1e-10
