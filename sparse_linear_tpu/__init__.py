@@ -33,6 +33,10 @@ from sparse_linear_tpu.ops.build import from_dense, trim
 from sparse_linear_tpu.ops.linalg import add, axpy, elementwise_mul, glin, lin, scale, spmm, spmv
 from sparse_linear_tpu.ops.structure import (
     block_diag,
+    from_columns,
+    from_rows,
+    to_columns,
+    to_rows,
     from_blocks,
     from_blocks_diag,
     hcat,
@@ -76,5 +80,9 @@ __all__ = [
     "outer",
     "submatrix",
     "take_diag",
+    "to_columns",
+    "from_columns",
+    "to_rows",
+    "from_rows",
     "dtypes",
 ]

@@ -68,6 +68,7 @@ class FeastParams:
     max_loops: int = 20
     debug: bool = False
     backend: str = "dense"
+    dims: tuple | None = None   # grid dims for the multifrontal ND ordering
     check_hermitian: bool = True
     seed: int = 0
 
@@ -154,8 +155,10 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
 
     # ---- contour + shifted factorizations (ijob=10, hoisted out of the loop)
     z_nodes, sigma = _contour(emin, emax, params.contour_points)
+    opts = {"dims": params.dims} if params.dims is not None else {}
     symbolic = solve_api.analyze(
-        lin(1.0 + 0.0j, mat_b, -1.0 - 0.0j, mat_a), backend=params.backend
+        lin(1.0 + 0.0j, mat_b, -1.0 - 0.0j, mat_a), backend=params.backend,
+        **opts,
     )
     factors = [
         solve_api.factor(

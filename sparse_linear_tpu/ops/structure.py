@@ -25,6 +25,10 @@ from sparse_linear_tpu.formats.sparse_vector import SparseVector
 from sparse_linear_tpu.ops.build import coo_to_csr, trim
 
 __all__ = [
+    "to_columns",
+    "from_columns",
+    "to_rows",
+    "from_rows",
     "vcat",
     "hcat",
     "from_blocks",
@@ -206,3 +210,41 @@ def submatrix(mat, r0: int, r1: int, c0: int, c1: int):
         nnz=int(keep.sum()),
     )
     return coo_to_csr(out)
+
+
+def to_columns(mat):
+    """Matrix -> list of sparse column vectors (reference ``toColumns``,
+    Matrix/Sparse.hs:381-387).  Host-side."""
+    csc = trim(mat.tocsc())
+    return [csc.col(j) for j in range(csc.shape[1])]
+
+
+def from_columns(cols):
+    """List of sparse column vectors -> CSC (reference
+    ``unsafeFromColumns``, Matrix/Sparse.hs:389-399)."""
+    if not cols:
+        raise ValueError("from_columns: empty list")
+    nr = cols[0].length
+    if any(c.length != nr for c in cols):
+        raise ValueError("from_columns: column length mismatch")
+    indptr = np.zeros(len(cols) + 1, dtype=np.int32)
+    indptr[1:] = np.cumsum([c.nnz for c in cols])
+    return CSC(
+        indptr=jnp.asarray(indptr),
+        indices=jnp.concatenate([c.indices for c in cols])
+        if any(c.nnz for c in cols) else jnp.zeros((0,), jnp.int32),
+        data=jnp.concatenate([c.data for c in cols])
+        if any(c.nnz for c in cols) else jnp.zeros((0,)),
+        shape=(nr, len(cols)),
+    )
+
+
+def to_rows(mat):
+    """Matrix -> list of sparse row vectors (CSR dual of ``to_columns``)."""
+    csr = trim(mat.tocsr())
+    return [csr.row(i) for i in range(csr.shape[0])]
+
+
+def from_rows(rows):
+    """List of sparse row vectors -> CSR."""
+    return from_columns(rows).T

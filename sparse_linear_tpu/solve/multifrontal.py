@@ -139,11 +139,14 @@ def _locate_in_fronts(sup_ids, rowvals, sup_start, rows_ptr, rows):
 
 
 def analyze(mat: CSR, ordering: str = "auto", dims=None,
-            relax_small: int = 16, relax_frac: float = 0.25) -> MFSymbolic:
+            relax_small: int = 16, relax_frac: float = 0.25,
+            perm=None) -> MFSymbolic:
     """Symbolic analysis: ordering, supernode forest, batched device schedule.
 
     ``dims``: grid dimensions when the matrix is a structured-grid operator —
     enables geometric nested dissection.  Otherwise RCM is used.
+    ``perm``: explicit elimination order (overrides ``ordering``) — used by
+    checkpoint restore to re-derive the schedule deterministically.
     """
     from sparse_linear_tpu.solve import ordering as ord_mod
     from sparse_linear_tpu.solve.symbolic_py import python_symbolic
@@ -154,18 +157,23 @@ def analyze(mat: CSR, ordering: str = "auto", dims=None,
     if mat.shape[0] != mat.shape[1]:
         raise ValueError("analyze: matrix must be square")
 
-    if ordering == "auto":
-        ordering = "nd" if dims is not None else "rcm"
-    if ordering in ("nd", "nested-dissection"):
-        perm = ord_mod.nested_dissection_grid(dims)
-    elif ordering == "rcm":
-        sp_ip, sp_ix = _symmetrized_pattern(mat, np.arange(n, dtype=np.int32))
-        perm = ord_mod.rcm(sp_ip, sp_ix, n)
-    elif ordering == "natural":
-        perm = ord_mod.natural(n)
-    else:
-        raise ValueError(f"unknown ordering: {ordering}")
+    if perm is None:
+        if ordering == "auto":
+            ordering = "nd" if dims is not None else "rcm"
+        if ordering in ("nd", "nested-dissection"):
+            perm = ord_mod.nested_dissection_grid(dims)
+        elif ordering == "rcm":
+            sp_ip, sp_ix = _symmetrized_pattern(
+                mat, np.arange(n, dtype=np.int32)
+            )
+            perm = ord_mod.rcm(sp_ip, sp_ix, n)
+        elif ordering == "natural":
+            perm = ord_mod.natural(n)
+        else:
+            raise ValueError(f"unknown ordering: {ordering}")
     perm = np.asarray(perm, dtype=np.int32)
+    if perm.shape != (n,):
+        raise ValueError(f"analyze: perm must have shape ({n},)")
 
     ip, ix = _symmetrized_pattern(mat, perm)
     sym = native_symbolic(n, ip, ix, relax_small, relax_frac)
@@ -301,7 +309,9 @@ def analyze(mat: CSR, ordering: str = "auto", dims=None,
         "nsuper": nsuper,
     }
     pattern_key = (int(mat.nnz), int(np.asarray(mat.indices)[:: max(1, mat.nnz // 97)].sum()))
-    return MFSymbolic(n, perm, schedule, pattern_key, a_entry_maps)
+    out = MFSymbolic(n, perm, schedule, pattern_key, a_entry_maps)
+    out.relax = (int(relax_small), float(relax_frac))
+    return out
 
 
 # ---------------------------------------------------------------------------

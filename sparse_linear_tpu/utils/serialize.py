@@ -1,0 +1,114 @@
+"""Checkpoint / resume for solver and eigensolver artifacts.
+
+The reference has two restart/reuse mechanisms but no persistence
+(SURVEY.md §5): (1) symbolic analyses and factor objects are first-class
+reusable values (Umfpack.hs:56-58); (2) FEAST warm-starts from a prior
+eigenvector subspace (Feast.hs:119,157-168).  This module adds the missing
+durability:
+
+* Factors persist as flat npz archives of their dense blocks.
+* A multifrontal Symbolic persists as its *recipe* (elimination order +
+  relaxation parameters): on restore, ``analyze(mat, perm=...)`` re-derives
+  the identical schedule deterministically — far smaller than serializing
+  the schedule, and robust across library versions.
+* FEAST subspaces persist as plain arrays (the warm-start unit).
+
+All files are numpy ``.npz`` — no pickle, loadable anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sparse_linear_tpu.solve import api as solve_api
+from sparse_linear_tpu.solve import multifrontal as mf
+
+__all__ = [
+    "save_factors",
+    "load_factors",
+    "save_subspace",
+    "load_subspace",
+]
+
+
+def save_factors(path, factors):
+    """Persist a Factors artifact (dense or multifrontal) to ``path``."""
+    if factors.backend == "dense":
+        lu, piv = factors.payload
+        np.savez_compressed(
+            path,
+            backend="dense",
+            n=factors.n,
+            lu=np.asarray(lu),
+            piv=np.asarray(piv),
+        )
+        return
+    if factors.backend == "multifrontal":
+        sym = factors.symbolic
+        payload = {
+            "backend": "multifrontal",
+            "n": sym.n,
+            "perm": sym.perm,
+            "relax_small": sym.relax[0],
+            "relax_frac": sym.relax[1],
+            "pattern_key": np.asarray(sym.pattern_key, dtype=np.int64),
+            "bucket_ids": np.asarray(sorted(factors.blocks.keys())),
+        }
+        for bidx, blk in factors.blocks.items():
+            for name, arr in blk.items():
+                payload[f"b{bidx}__{name}"] = np.asarray(arr)
+        np.savez_compressed(path, **payload)
+        return
+    raise TypeError(f"unsupported factors backend: {factors.backend}")
+
+
+def load_factors(path, mat=None):
+    """Restore a Factors artifact.  Multifrontal restore requires ``mat``
+    (same pattern as at save time) to re-derive the symbolic schedule."""
+    import jax.numpy as jnp
+
+    with np.load(path, allow_pickle=False) as z:
+        backend = str(z["backend"])
+        if backend == "dense":
+            return solve_api.Factors(
+                payload=(jnp.asarray(z["lu"]), jnp.asarray(z["piv"])),
+                n=int(z["n"]),
+                backend="dense",
+            )
+        if backend == "multifrontal":
+            if mat is None:
+                raise ValueError(
+                    "multifrontal restore needs the matrix (same pattern) to "
+                    "re-derive the symbolic schedule"
+                )
+            sym = mf.analyze(
+                mat,
+                perm=z["perm"],
+                relax_small=int(z["relax_small"]),
+                relax_frac=float(z["relax_frac"]),
+            )
+            if tuple(int(v) for v in z["pattern_key"]) != sym.pattern_key:
+                raise ValueError(
+                    "saved factors do not match this matrix pattern"
+                )
+            blocks = {}
+            dtype = None
+            for bidx in z["bucket_ids"].tolist():
+                blk = {}
+                for name in ("lu", "perm", "g21", "g12"):
+                    blk[name] = jnp.asarray(z[f"b{bidx}__{name}"])
+                blocks[int(bidx)] = blk
+                dtype = blk["lu"].dtype
+            return mf.MFFactors(sym, blocks, dtype)
+        raise ValueError(f"unknown backend in checkpoint: {backend}")
+
+
+def save_subspace(path, result):
+    """Persist a FEAST warm-start subspace (EigResult or raw (n, m0) array)."""
+    subspace = getattr(result, "subspace", result)
+    np.savez_compressed(path, subspace=np.asarray(subspace))
+
+
+def load_subspace(path):
+    with np.load(path, allow_pickle=False) as z:
+        return z["subspace"]
