@@ -129,7 +129,7 @@ def _reduced_geig(aq, bq):
 
 
 def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
-           guess=None) -> EigResult:
+           guess=None, mesh=None, contour_axis: str = "cp") -> EigResult:
     """Generalized Hermitian interval eigenproblem A x = lambda B x,
     eigenvalues in ``interval`` = (emin, emax), subspace dimension m0.
 
@@ -154,18 +154,27 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
     cdtype = complex_of(in_dtype)
 
     # ---- contour + shifted factorizations (ijob=10, hoisted out of the loop)
+    # All contour nodes share one pattern (union of A and B); one symbolic,
+    # ONE batched numeric factorization over the stacked shifted value-sets
+    # (z_k B - A) — contour parallelism P3.  With ``mesh`` given, the node
+    # axis is sharded over it and XLA inserts the quadrature psum (P4/dist).
     z_nodes, sigma = _contour(emin, emax, params.contour_points)
+    ne = len(z_nodes)
     opts = {"dims": params.dims} if params.dims is not None else {}
-    symbolic = solve_api.analyze(
-        lin(1.0 + 0.0j, mat_b, -1.0 - 0.0j, mat_a), backend=params.backend,
-        **opts,
+    union_b = lin(1.0 + 0.0j, mat_b, 0.0 + 0.0j, mat_a)  # union pattern, B values
+    union_a = lin(0.0 + 0.0j, mat_b, 1.0 + 0.0j, mat_a)  # union pattern, A values
+    symbolic = solve_api.analyze(union_b, backend=params.backend, **opts)
+    data_stack = (
+        jnp.asarray(z_nodes)[:, None] * union_b.data[None, :].astype(cdtype)
+        - union_a.data[None, :].astype(cdtype)
     )
-    factors = [
-        solve_api.factor(
-            lin(complex(z), mat_b, -1.0 + 0.0j, mat_a), symbolic
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_stack = jax.device_put(
+            data_stack, NamedSharding(mesh, P(contour_axis))
         )
-        for z in z_nodes
-    ]
+    factors = solve_api.factor_batched(union_b, data_stack, symbolic)
 
     # ---- initial subspace (fpm[4]: warm start when guess given)
     if guess is not None:
@@ -188,13 +197,16 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
 
     for loop in range(params.max_loops):
         loops_done = loop + 1
-        by = spmm(mat_b, y)
-        # ---- quadrature: batched solves at every node (ijob=11 / 21)
-        q = jnp.zeros((n, m0), dtype=cdtype)
-        for k in range(len(z_nodes)):
-            s = solve_api.solve_many(factors[k], by.astype(cdtype))
-            t = solve_api.solve_many(factors[k], by.astype(cdtype), trans=True)
-            q = q + sigma[k] * s + np.conj(sigma[k]) * t
+        by = spmm(mat_b, y).astype(cdtype)
+        # ---- quadrature: ONE batched solve over all nodes (ijob=11 / 21)
+        by_stack = jnp.broadcast_to(by, (ne,) + by.shape)
+        s_stack = solve_api.solve_batched(factors, by_stack)
+        t_stack = solve_api.solve_batched(factors, by_stack, trans=True)
+        sig = jnp.asarray(sigma)
+        q = (
+            jnp.einsum("k,knm->nm", sig, s_stack)
+            + jnp.einsum("k,knm->nm", jnp.conj(sig), t_stack)
+        )
         if real_input:
             q = q.real.astype(in_dtype)
 
@@ -269,11 +281,12 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
 
 
 def eigsh(m0, interval, mat_a, params: FeastParams = FeastParams(),
-          guess=None) -> EigResult:
+          guess=None, mesh=None, contour_axis: str = "cp") -> EigResult:
     """Standard Hermitian interval problem: B = I (reference ``eigSH``,
     Feast.hs:53-60,91-100)."""
     from sparse_linear_tpu.dtypes import real_of
     from sparse_linear_tpu.formats.matrix import eye
 
     b = eye(mat_a.shape[0], dtype=real_of(mat_a.dtype))
-    return geigsh(m0, interval, mat_a, b, params=params, guess=guess)
+    return geigsh(m0, interval, mat_a, b, params=params, guess=guess,
+                  mesh=mesh, contour_axis=contour_axis)

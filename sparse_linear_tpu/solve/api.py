@@ -46,6 +46,8 @@ __all__ = [
     "solve",
     "solve_many",
     "solve_refined",
+    "factor_batched",
+    "solve_batched",
     "linear_solve",
     "SolveInfo",
 ]
@@ -132,6 +134,53 @@ def solve_many(factors: Factors, bs, trans: bool = False):
     RHS serially (Umfpack.hs:43-46, Feast.hs:197-201); here the batch is one
     device call (build component P2, SURVEY.md §2.4)."""
     return solve(factors, bs, trans=trans)
+
+
+def factor_batched(pattern_mat, data_stack, symbolic: Symbolic):
+    """Batched numeric factorization of many value-sets over one pattern
+    (contour parallelism P3; SURVEY.md §2.4).  ``data_stack``: (ne, nnz)
+    values in the canonical entry order of ``pattern_mat``."""
+    import jax.numpy as jnp
+
+    data_stack = jnp.asarray(data_stack)
+    if symbolic.backend == "dense":
+        from sparse_linear_tpu.ops.build import trim as _trim
+
+        m = _trim(pattern_mat.tocsr())
+        rows, cols = m.row_ids(), m.indices
+        n = symbolic.n
+        ne = data_stack.shape[0]
+        dense = jnp.zeros((ne, n, n), data_stack.dtype).at[:, rows, cols].add(
+            data_stack, mode="drop"
+        )
+        lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(dense)
+        out = Factors(payload=(lu, piv), n=n, backend="dense")
+        object.__setattr__(out, "batch", ne)
+        return out
+    if symbolic.backend == "multifrontal":
+        from sparse_linear_tpu.solve import multifrontal
+
+        return multifrontal.factor_batched(data_stack, symbolic)
+    raise ValueError(f"unknown backend: {symbolic.backend}")
+
+
+def solve_batched(factors, b_stack, trans: bool = False):
+    """Solves on batched factors: (ne, n, k) -> (ne, n, k)."""
+    import jax.numpy as jnp
+
+    b_stack = jnp.asarray(b_stack)
+    if factors.backend == "dense":
+        lu, piv = factors.payload
+        return jax.vmap(
+            lambda l, p, b: jax.scipy.linalg.lu_solve(
+                (l, p), b, trans=2 if trans else 0
+            )
+        )(lu, piv, b_stack)
+    if factors.backend == "multifrontal":
+        from sparse_linear_tpu.solve import multifrontal
+
+        return multifrontal.solve_batched(factors, b_stack, trans=trans)
+    raise ValueError(f"unknown backend: {factors.backend}")
 
 
 def linear_solve(mat, bs, backend: str = "dense", trans: bool = False,

@@ -48,7 +48,7 @@ import numpy as np
 from sparse_linear_tpu.formats.matrix import CSR
 from sparse_linear_tpu.ops.build import trim
 
-__all__ = ["analyze", "factor", "solve", "MFSymbolic", "MFFactors"]
+__all__ = ["analyze", "factor", "factor_batched", "solve", "solve_batched", "MFSymbolic", "MFFactors"]
 
 
 def _class_of(x: int, lo: int = 8) -> int:
@@ -545,6 +545,54 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool):
         return y[:n][dm["iperm"]]
 
     return jax.jit(run)
+
+
+def factor_batched(data_stack, symbolic: MFSymbolic) -> MFFactors:
+    """Batched numeric factorization: ``data_stack`` of shape (ne, nnz) holds
+    ne value-sets over the SAME pattern (e.g. FEAST's shifted matrices
+    z_k B - A, reference Feast.hs:214-218 done one-at-a-time there).  The
+    whole factorization program is vmapped over the leading axis — contour
+    parallelism (P3) as one batched device computation; shard the leading
+    axis over a mesh for multi-chip contour distribution.
+    """
+    data_stack = jnp.asarray(data_stack)
+    if data_stack.ndim != 2:
+        raise ValueError("factor_batched: expected (ne, nnz) data stack")
+    dm = _device_maps(symbolic)
+    fns = getattr(symbolic, "_factor_fns", None)
+    if fns is None:
+        fns = symbolic._factor_fns = {}
+    fkey = ("batched", str(data_stack.dtype))
+    if fkey not in fns:
+        base = _build_factor_fn(symbolic)
+        fns[fkey] = jax.jit(jax.vmap(lambda d, m: base.__wrapped__(d, m),
+                                     in_axes=(0, None)))
+    blocks = fns[fkey](data_stack, dm)
+    out = MFFactors(symbolic, blocks, data_stack.dtype)
+    out.batch = int(data_stack.shape[0])
+    return out
+
+
+def solve_batched(factors: MFFactors, b_stack, trans: bool = False):
+    """Batched solves on batched factors: ``b_stack`` (ne, n, k) -> (ne, n, k)."""
+    sym = factors.symbolic
+    b_stack = jnp.asarray(b_stack)
+    if b_stack.ndim != 3 or b_stack.shape[0] != getattr(factors, "batch", -1):
+        raise ValueError(
+            f"solve_batched: expected ({getattr(factors, 'batch', '?')}, n, k) rhs stack"
+        )
+    dm = _device_maps(sym)
+    fns = getattr(factors, "_solve_fns", None)
+    if fns is None:
+        fns = factors._solve_fns = {}
+    skey = ("batched", bool(trans), int(b_stack.shape[2]), str(b_stack.dtype))
+    if skey not in fns:
+        base = _build_solve_fn(sym, trans)
+        fns[skey] = jax.jit(
+            jax.vmap(lambda blk, b, m: base.__wrapped__(blk, b, m),
+                     in_axes=(0, 0, None))
+        )
+    return fns[skey](factors.blocks, b_stack, dm)
 
 
 def solve(factors: MFFactors, b, trans: bool = False):

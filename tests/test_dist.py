@@ -51,3 +51,33 @@ def test_halo_fallback_when_band_too_wide(mesh):
     y = dia_spmv_sharded(shard_dia_rows(a_dia, mesh), x, mesh, exchange="halo")
     ref = np.asarray(poisson_2d(nx, dtype=np.float64).todense()) @ np.ones(16)
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-12)
+
+
+def test_distributed_feast_contour_sharding():
+    """FEAST with the contour-node axis sharded over the mesh (P3/P4):
+    results must match the single-device run to machine precision."""
+    import sparse_linear_tpu as sl
+    from sparse_linear_tpu.eig.feast import FeastParams, eigsh
+    from sparse_linear_tpu.utils.grids import laplacian_1d
+
+    devs = np.array(jax.devices()[:8])
+    cp_mesh = Mesh(devs, ("cp",))
+    a = laplacian_1d(24, dtype=np.float64)
+    p = FeastParams(tol=1e-12, contour_points=8)
+    res_single = eigsh(8, (0.5, 1.5), a, p)
+    res_dist = eigsh(8, (0.5, 1.5), a, p, mesh=cp_mesh)
+    assert res_dist.n_found == res_single.n_found
+    np.testing.assert_allclose(res_dist.values, res_single.values, rtol=1e-12)
+    assert res_dist.epsout < 1e-10
+
+
+def test_distributed_feast_2d_mesh():
+    """2D mesh (cp x rows): contour axis sharded, rest replicated."""
+    from sparse_linear_tpu.eig.feast import FeastParams, eigsh
+    from sparse_linear_tpu.utils.grids import laplacian_1d
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh2 = Mesh(devs, ("cp", "rows"))
+    a = laplacian_1d(16, dtype=np.float64)
+    res = eigsh(6, (0.2, 1.2), a, FeastParams(tol=1e-12), mesh=mesh2)
+    assert res.n_found > 0 and res.epsout < 1e-10
