@@ -386,6 +386,13 @@ def _build_factor_fn(symbolic: MFSymbolic):
     height = symbolic.schedule["height"]
 
     def run(a_data, dm):
+        # TPU MXU f32 matmuls default to low-precision passes; the Schur
+        # complements and triangular algebra need full f32 (observed: 2e-2
+        # vs 5e-6 residuals at 1M dof)
+        with jax.default_matmul_precision("highest"):
+            return _run(a_data, dm)
+
+    def _run(a_data, dm):
         dtype = a_data.dtype
         blocks = {}
         updates = {}
@@ -465,6 +472,10 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool):
     n = symbolic.n
 
     def run(blocks, b, dm):
+        with jax.default_matmul_precision("highest"):
+            return _run(blocks, b, dm)
+
+    def _run(blocks, b, dm):
         k = b.shape[1]
         # y carries an extra sentinel row (index n) absorbing padded gathers
         y = jnp.concatenate(
