@@ -114,28 +114,33 @@ def _symmetrized_pattern(mat: CSR, perm):
     return out_indptr, pc.astype(np.int32)
 
 
-def _locate_in_fronts(sup_ids, rowvals, sup_start, rows_ptr, rows):
-    """Local front coordinates of global rows ``rowvals`` inside the fronts
-    of ``sup_ids`` (vectorized per supernode group)."""
-    out = np.empty(rowvals.shape[0], dtype=np.int64)
-    order = np.argsort(sup_ids, kind="stable")
-    s_sorted = sup_ids[order]
-    uniq = np.unique(s_sorted)
-    for s in uniq:
-        lo, hi = np.searchsorted(s_sorted, [s, s + 1])
-        sel = order[lo:hi]
-        rv = rowvals[sel]
-        c0, c1 = sup_start[s], sup_start[s + 1]
-        nc = c1 - c0
-        below = rows[rows_ptr[s] + nc: rows_ptr[s + 1]]
-        is_piv = rv < c1
-        loc = np.where(
-            is_piv,
-            rv - c0,
-            nc + np.searchsorted(below, np.clip(rv, c1, None)),
-        )
-        out[sel] = loc
-    return out
+def _below_index(nsuper, n, sup_start, rows_ptr, rows, nc_arr):
+    """Global search structure over all below-pivot frontal rows: a single
+    sorted key array (supernode-major, row-minor) enabling ONE vectorized
+    searchsorted for every locate query."""
+    mask = np.ones(rows.shape[0], dtype=bool)
+    # zero out the pivot prefix of each segment
+    seg_ids = np.repeat(np.arange(nsuper), np.diff(rows_ptr))
+    pos_in_seg = np.arange(rows.shape[0]) - rows_ptr[seg_ids]
+    mask = pos_in_seg >= nc_arr[seg_ids]
+    below_rows = rows[mask]
+    below_seg = seg_ids[mask]
+    below_ptr = np.zeros(nsuper + 1, dtype=np.int64)
+    np.add.at(below_ptr, below_seg + 1, 1)
+    below_ptr = np.cumsum(below_ptr)
+    gkey = below_seg * np.int64(n + 1) + below_rows
+    return below_ptr, below_rows, below_seg, gkey
+
+
+def _locate_vec(sup_ids, rowvals, sup_start, nc_arr, below_ptr, gkey, n):
+    """Vectorized local front coordinates: pivot rows by offset, below rows
+    by one global searchsorted over the supernode-major key array."""
+    c0 = sup_start[sup_ids]
+    c1 = sup_start[sup_ids + 1]
+    is_piv = rowvals < c1
+    q = sup_ids * np.int64(n + 1) + rowvals
+    below_pos = np.searchsorted(gkey, q) - below_ptr[sup_ids]
+    return np.where(is_piv, rowvals - c0, nc_arr[sup_ids] + below_pos)
 
 
 def analyze(mat: CSR, ordering: str = "auto", dims=None,
@@ -221,6 +226,17 @@ def analyze(mat: CSR, ordering: str = "auto", dims=None,
             bucket_of_sup[s] = bidx
             slot_of_sup[s] = slot
 
+    # ---- global locate structure (one searchsorted serves every query)
+    below_ptr, below_rows, below_seg, gkey = _below_index(
+        nsuper, n, sup_start, rows_ptr, rows, nc_arr
+    )
+
+    def locate_padded(s_ids, rowvals):
+        loc = _locate_vec(s_ids, rowvals, sup_start, nc_arr, below_ptr,
+                          gkey, n)
+        nc_s = nc_arr[s_ids]
+        return np.where(loc < nc_s, loc, loc - nc_s + ns_class[s_ids])
+
     # ---- A-entry scatter maps (permuted entries -> (bucket, slot, r, c))
     indptr = np.asarray(mat.indptr)
     indices = np.asarray(mat.indices)
@@ -229,21 +245,14 @@ def analyze(mat: CSR, ordering: str = "auto", dims=None,
     iperm = np.empty(n, dtype=np.int64)
     iperm[perm] = np.arange(n)
     pr, pc = iperm[e_rows], iperm[e_cols]
-    m_lo = np.minimum(pr, pc)
-    owner = sup_of[m_lo]
-    loc_r = _locate_in_fronts(owner, pr, sup_start, rows_ptr, rows)
-    loc_c = _locate_in_fronts(owner, pc, sup_start, rows_ptr, rows)
-    # local -> padded coordinates: pivot i stays i, below k -> Ns + k
-    def to_padded(loc, s_ids):
-        nc_s = nc_arr[s_ids]
-        return np.where(loc < nc_s, loc, loc - nc_s + ns_class[s_ids])
-
-    pad_r = to_padded(loc_r, owner)
-    pad_c = to_padded(loc_c, owner)
+    owner = sup_of[np.minimum(pr, pc)]
+    pad_r = locate_padded(owner, pr)
+    pad_c = locate_padded(owner, pc)
 
     a_entry_maps = {}
+    owner_bucket = bucket_of_sup[owner]
     for bidx, b in enumerate(flat):
-        in_b = bucket_of_sup[owner] == bidx
+        in_b = owner_bucket == bidx
         a_entry_maps[bidx] = {
             "src": np.nonzero(in_b)[0].astype(np.int32),
             "slot": slot_of_sup[owner[in_b]].astype(np.int32),
@@ -251,55 +260,61 @@ def analyze(mat: CSR, ordering: str = "auto", dims=None,
             "c": pad_c[in_b].astype(np.int32),
         }
 
-    # ---- child extend-add maps, grouped by (parent bucket, child bucket)
-    child_groups = {}  # parent bidx -> {child bidx -> lists}
-    for s in range(nsuper):
-        p = sup_parent[s]
-        if p < 0 or us_arr[s] == 0:
-            continue
-        pb = int(bucket_of_sup[p])
-        cb = int(bucket_of_sup[s])
-        upd_rows = rows[rows_ptr[s] + nc_arr[s]: rows_ptr[s + 1]]
-        loc = _locate_in_fronts(
-            np.full(upd_rows.shape[0], p, dtype=np.int64),
-            upd_rows, sup_start, rows_ptr, rows,
-        )
-        padded = np.where(
-            loc < nc_arr[p], loc, loc - nc_arr[p] + ns_class[p]
-        )
-        g = child_groups.setdefault(pb, {}).setdefault(
-            cb, {"cslot": [], "pslot": [], "maps": []}
-        )
-        g["cslot"].append(int(slot_of_sup[s]))
-        g["pslot"].append(int(slot_of_sup[p]))
-        m = np.full(flat[cb]["Us"], -1, dtype=np.int32)
-        m[: padded.shape[0]] = padded
-        g["maps"].append(m)
+    # ---- child extend-add maps: ONE global locate for all update rows,
+    # then vectorized padded-map assembly per (parent bucket, child bucket)
+    has_parent = (sup_parent >= 0) & (us_arr > 0)
+    child_ids = np.nonzero(has_parent)[0]
+    parent_of = sup_parent[child_ids].astype(np.int64)
+    q_sup = np.repeat(parent_of, us_arr[child_ids])
+    # below_rows is supernode-major, so the children's update rows (in
+    # ascending child id order) are exactly the masked selection
+    q_mask = has_parent[below_seg]
+    q_rows = below_rows[q_mask]
+    located = locate_padded(q_sup, q_rows) if q_rows.size else q_rows
 
-    for pb, cbs in child_groups.items():
-        for cb, g in cbs.items():
-            g["cslot"] = np.asarray(g["cslot"], dtype=np.int32)
-            g["pslot"] = np.asarray(g["pslot"], dtype=np.int32)
-            g["maps"] = np.stack(g["maps"]).astype(np.int32)
+    child_groups = {}
+    # group (child, parent) pairs by bucket pair
+    pair_key = bucket_of_sup[parent_of] * len(flat) + bucket_of_sup[child_ids]
+    order_p = np.argsort(pair_key, kind="stable")
+    # offsets of each child's located block within `located`
+    loc_ofs = np.zeros(child_ids.shape[0] + 1, dtype=np.int64)
+    np.cumsum(us_arr[child_ids], out=loc_ofs[1:])
+    for key in np.unique(pair_key):
+        sel = order_p[np.searchsorted(pair_key[order_p], key):
+                      np.searchsorted(pair_key[order_p], key, side="right")]
+        pb = int(key) // len(flat)
+        cb = int(key) % len(flat)
+        cs = child_ids[sel]
+        uc = flat[cb]["Us"]
+        m_idx = loc_ofs[sel][:, None] + np.arange(uc)[None, :]
+        valid = np.arange(uc)[None, :] < us_arr[cs][:, None]
+        maps = np.where(valid, located[np.minimum(m_idx, located.shape[0] - 1)], -1)
+        child_groups.setdefault(pb, {})[cb] = {
+            "cslot": slot_of_sup[cs].astype(np.int32),
+            "pslot": slot_of_sup[sup_parent[cs]].astype(np.int32),
+            "maps": maps.astype(np.int32),
+        }
 
-    # ---- per-bucket solve row maps (padded with sentinel n)
+    # ---- per-bucket solve row maps (padded with sentinel n), vectorized
     for bidx, b in enumerate(flat):
         ids = b["sup_ids"]
-        nb = ids.shape[0]
         ns_c, us_c = b["Ns"], b["Us"]
-        rows_piv = np.full((nb, ns_c), n, dtype=np.int32)
-        rows_upd = np.full((nb, us_c), n, dtype=np.int32)
-        ns_real = np.zeros(nb, dtype=np.int32)
-        for k, s in enumerate(ids):
-            c0, c1 = int(sup_start[s]), int(sup_start[s + 1])
-            nc = c1 - c0
-            ns_real[k] = nc
-            rows_piv[k, :nc] = np.arange(c0, c1)
-            ur = rows[rows_ptr[s] + nc: rows_ptr[s + 1]]
-            rows_upd[k, : ur.shape[0]] = ur
-        b["rows_piv"] = rows_piv
-        b["rows_upd"] = rows_upd
-        b["ns_real"] = ns_real
+        ar_ns = np.arange(ns_c)[None, :]
+        ar_us = np.arange(us_c)[None, :]
+        nc_b = nc_arr[ids][:, None]
+        us_b = us_arr[ids][:, None]
+        rows_piv = np.where(ar_ns < nc_b, sup_start[ids][:, None] + ar_ns, n)
+        bidx_mat = below_ptr[ids][:, None] + ar_us
+        rows_upd = np.where(
+            ar_us < us_b,
+            below_rows[np.minimum(bidx_mat, below_rows.shape[0] - 1)]
+            if below_rows.size
+            else n,
+            n,
+        )
+        b["rows_piv"] = rows_piv.astype(np.int32)
+        b["rows_upd"] = rows_upd.astype(np.int32)
+        b["ns_real"] = nc_arr[ids].astype(np.int32)
         b["children"] = child_groups.get(bidx, {})
 
     schedule = {
