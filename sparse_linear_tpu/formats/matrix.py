@@ -101,6 +101,43 @@ class _MatrixOpsMixin:
 
         return linalg.scale(self, alpha)
 
+    def __abs__(self):
+        """Elementwise absolute value (reference Num ``abs``,
+        Matrix/Sparse.hs:100-113)."""
+        return self.map_values(jnp.abs)
+
+    def signum(self):
+        """Elementwise sign (reference Num ``signum``)."""
+        return self.map_values(jnp.sign)
+
+    def reduce_values(self, f, init):
+        """Fold over STORED values only (reference MonoFoldable
+        ``ofoldl'``, Matrix/Sparse.hs:84-98).  Host-side: operates on the
+        trimmed valid entries."""
+        from sparse_linear_tpu.ops.build import trim
+
+        import numpy as _np
+
+        vals = _np.asarray(trim(self).data)
+        acc = init
+        for v in vals:
+            acc = f(acc, v)
+        return acc
+
+    def sum_values(self):
+        """Sum of stored values (ofoldl' (+) analog)."""
+        from sparse_linear_tpu.ops.linalg import _valid_mask
+
+        return jnp.where(_valid_mask(self), self.data, 0).sum()
+
+    def is_hermitian(self, tol: float = 0.0):
+        """ctrans m == m (reference ``hermitian``, Matrix/Sparse.hs:377-379;
+        exact equality there — ``tol`` generalizes)."""
+        import numpy as _np
+
+        d = _np.asarray(self.todense())
+        return bool(_np.allclose(d, d.conj().T, atol=tol, rtol=0))
+
     @property
     def dtype(self):
         return self.data.dtype

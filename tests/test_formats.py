@@ -214,3 +214,27 @@ def test_matrix_pytree_flattens():
     m2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert m2.shape == m.shape
     np.testing.assert_array_equal(np.asarray(m2.todense()), np.eye(4))
+
+
+def test_parity_methods(rng, dtype):
+    from tests.conftest import random_coo
+
+    rows, cols, vals = random_coo(rng, 5, 5, dtype)
+    m = sl.from_triples((5, 5), rows, cols, vals).tocsr()
+    np.testing.assert_allclose(
+        np.asarray(abs(m).todense()), np.abs(np.asarray(m.todense())), atol=0
+    )
+    # signum of stored entries only
+    d = np.asarray(m.todense())
+    np.testing.assert_allclose(
+        np.asarray(m.signum().todense()), np.sign(d), atol=0
+    )
+    np.testing.assert_allclose(
+        complex(m.sum_values()), complex(d.sum()), atol=1e-12
+    )
+    total = m.reduce_values(lambda a, b: a + b, 0.0)
+    np.testing.assert_allclose(complex(total), complex(d.sum()), atol=1e-12)
+    # hermitian predicate
+    h = (m + m.ctrans().tocsr()).tocsr()
+    assert h.is_hermitian(tol=1e-12)
+    assert not sl.from_triples((2, 2), [0], [1], [1.0]).tocsr().is_hermitian()

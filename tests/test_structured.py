@@ -114,3 +114,20 @@ def test_dia_spmv_large_agreement(rng):
     np.testing.assert_allclose(
         np.asarray(a_dia @ x), np.asarray(a_csr @ x), atol=1e-12
     )
+
+
+def test_dia_spmv_pallas_interpret(rng):
+    """Pallas DIA kernel vs reference path, interpreter mode on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sparse_linear_tpu.kernels.spmv import dia_spmv
+    from sparse_linear_tpu.kernels.spmv_pallas import dia_spmv_pallas
+
+    for g in [16, 40]:
+        a = poisson_2d(g, dtype=np.float32, fmt="dia")
+        x = jnp.asarray(rng.standard_normal(g * g), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = dia_spmv_pallas(a, x, tile=1024)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(dia_spmv(a, x)), atol=1e-4
+        )
