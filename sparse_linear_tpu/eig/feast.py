@@ -69,6 +69,9 @@ class FeastParams:
     debug: bool = False
     backend: str = "dense"
     dims: tuple | None = None   # grid dims for the multifrontal ND ordering
+    complex_strategy: str = "auto"  # "native" | "embedded" | "auto"
+    contour_batching: str = "auto"  # "vmap" | "loop" | "auto"
+    refine_solves: int = 0      # per-node mixed-precision refinement steps
     check_hermitian: bool = True
     seed: int = 0
 
@@ -128,6 +131,37 @@ def _reduced_geig(aq, bq):
     return lam, coeff
 
 
+def _solve_all(factors, b_stack, trans):
+    """Stacked solves under either contour-batching strategy."""
+    from sparse_linear_tpu.solve import api as solve_api
+
+    if isinstance(factors, list):
+        return jnp.stack(
+            [solve_api.solve_many(f, b_stack[k], trans=trans)
+             for k, f in enumerate(factors)]
+        )
+    return solve_api.solve_batched(factors, b_stack, trans=trans)
+
+
+def _refine_stack(factors, x_stack, b_stack, data64, rows, cols, trans):
+    """One mixed-precision refinement step on a batched embedded solve:
+    r_k = b_k - E_k x_k computed in f64, correction solved on the f32
+    factors.  E_k given as stacked canonical data over a shared pattern."""
+    x64 = x_stack.astype(jnp.float64)
+    if trans:
+        # E^T x: swap roles of rows/cols in the scatter
+        ax = jnp.zeros_like(x64).at[:, cols, :].add(
+            data64[:, :, None] * x64[:, rows, :], mode="drop"
+        )
+    else:
+        ax = jnp.zeros_like(x64).at[:, rows, :].add(
+            data64[:, :, None] * x64[:, cols, :], mode="drop"
+        )
+    r = b_stack.astype(jnp.float64) - ax
+    dx = _solve_all(factors, r.astype(x_stack.dtype), trans)
+    return (x64 + dx.astype(jnp.float64)).astype(x_stack.dtype)
+
+
 def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
            guess=None, mesh=None, contour_axis: str = "cp") -> EigResult:
     """Generalized Hermitian interval eigenproblem A x = lambda B x,
@@ -161,20 +195,98 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
     z_nodes, sigma = _contour(emin, emax, params.contour_points)
     ne = len(z_nodes)
     opts = {"dims": params.dims} if params.dims is not None else {}
-    union_b = lin(1.0 + 0.0j, mat_b, 0.0 + 0.0j, mat_a)  # union pattern, B values
-    union_a = lin(0.0 + 0.0j, mat_b, 1.0 + 0.0j, mat_a)  # union pattern, A values
-    symbolic = solve_api.analyze(union_b, backend=params.backend, **opts)
-    data_stack = (
-        jnp.asarray(z_nodes)[:, None] * union_b.data[None, :].astype(cdtype)
-        - union_a.data[None, :].astype(cdtype)
+    # union-pattern matrices carrying B resp. A values; keep them in the
+    # input's real dtype for real pencils (complex construction would run
+    # complex device ops, unsupported on TPU)
+    one = 1.0 if real_input else 1.0 + 0.0j
+    zero = 0.0 if real_input else 0.0 + 0.0j
+    union_b = lin(one, mat_b, zero, mat_a)  # union pattern, B values
+    union_a = lin(zero, mat_b, one, mat_a)  # union pattern, A values
+
+    use_embed = params.complex_strategy == "embedded" or (
+        params.complex_strategy == "auto"
+        and jax.default_backend() not in ("cpu",)
     )
+    if use_embed and not real_input:
+        raise NotImplementedError(
+            "embedded complex strategy currently supports real-symmetric "
+            "pencils (the TPU path); complex Hermitian inputs run with "
+            "complex_strategy='native' on CPU"
+        )
+    data_stack_c = (
+        np.asarray(z_nodes)[:, None] * np.asarray(union_b.data)[None, :]
+        - np.asarray(union_a.data)[None, :]
+    )
+    if use_embed:
+        # complex solves through the real 2n x 2n ring embedding (TPU has no
+        # complex sparse support); see solve/complex_embed.py
+        from sparse_linear_tpu.solve import complex_embed as ce
+        from sparse_linear_tpu.solve import ordering as ord_mod
+
+        pattern_r, eperm = ce.embed_pattern(union_b)
+        if params.backend == "multifrontal":
+            if params.dims is not None:
+                base = ord_mod.nested_dissection_grid(params.dims)
+                symbolic = solve_api.analyze(
+                    pattern_r, backend="multifrontal",
+                    perm=ce.embed_perm(base),
+                )
+            else:
+                symbolic = solve_api.analyze(pattern_r, backend="multifrontal")
+        else:
+            symbolic = solve_api.analyze(pattern_r, backend=params.backend)
+        solve_dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
+        data_stack = ce.embed_data(
+            jnp.asarray(data_stack_c), eperm
+        ).astype(solve_dtype)
+        pattern_mat = pattern_r
+    else:
+        symbolic = solve_api.analyze(union_b, backend=params.backend, **opts)
+        data_stack = jnp.asarray(data_stack_c, dtype=cdtype)
+        pattern_mat = union_b
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         data_stack = jax.device_put(
             data_stack, NamedSharding(mesh, P(contour_axis))
         )
-    factors = solve_api.factor_batched(union_b, data_stack, symbolic)
+    # contour batching: "vmap" compiles ONE batched program over all nodes
+    # (best on CPU / small patterns); "loop" reuses the single-matrix
+    # compiled programs per node (the remote TPU compiler cannot handle the
+    # vmapped multifrontal program)
+    batching = params.contour_batching
+    if batching == "auto":
+        batching = (
+            "loop"
+            if (params.backend == "multifrontal"
+                and jax.default_backend() != "cpu")
+            else "vmap"
+        )
+    if batching == "vmap":
+        factors = solve_api.factor_batched(pattern_mat, data_stack, symbolic)
+    else:
+        from sparse_linear_tpu.formats.matrix import CSR as _CSR
+
+        pm = pattern_mat.tocsr()
+        factors = [
+            solve_api.factor(
+                _CSR(indptr=pm.indptr, indices=pm.indices,
+                     data=data_stack[k], shape=pm.shape),
+                symbolic,
+            )
+            for k in range(ne)
+        ]
+    factors_dtype_f32 = use_embed and jax.default_backend() == "tpu" 
+    refine_data = refine_rows = refine_cols = None
+    if use_embed and params.refine_solves > 0:
+        # f64 embedded data for residual SpMVs in per-node refinement
+        refine_data = ce.embed_data(jnp.asarray(data_stack_c), eperm).astype(
+            np.float64
+        )
+        refine_rows = pattern_r.row_ids()
+        refine_cols = pattern_r.indices
+    sig_re = jnp.asarray(np.real(sigma))
+    sig_im = jnp.asarray(np.imag(sigma))
 
     # ---- initial subspace (fpm[4]: warm start when guess given)
     if guess is not None:
@@ -197,18 +309,51 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
 
     for loop in range(params.max_loops):
         loops_done = loop + 1
-        by = spmm(mat_b, y).astype(cdtype)
         # ---- quadrature: ONE batched solve over all nodes (ijob=11 / 21)
-        by_stack = jnp.broadcast_to(by, (ne,) + by.shape)
-        s_stack = solve_api.solve_batched(factors, by_stack)
-        t_stack = solve_api.solve_batched(factors, by_stack, trans=True)
-        sig = jnp.asarray(sigma)
-        q = (
-            jnp.einsum("k,knm->nm", sig, s_stack)
-            + jnp.einsum("k,knm->nm", jnp.conj(sig), t_stack)
-        )
-        if real_input:
-            q = q.real.astype(in_dtype)
+        if use_embed:
+            # fully real pipeline: solve the embedded systems, then combine
+            # Re(sigma S) = Re(sigma) S_re - Im(sigma) S_im directly from the
+            # interleaved (re, im) rows — no complex dtype on device.
+            from sparse_linear_tpu.solve import complex_embed as ce
+
+            by = spmm(mat_b, y)
+            by_e = ce.embed_vec(by.astype(
+                jnp.float32 if factors_dtype_f32 else jnp.float64
+            ))
+            by_stack = jnp.broadcast_to(by_e, (ne,) + by_e.shape)
+            s_stack = _solve_all(factors, by_stack, False)
+            t_stack = _solve_all(factors, by_stack, True)
+            if params.refine_solves > 0:
+                for _ in range(params.refine_solves):
+                    s_stack = _refine_stack(
+                        factors, s_stack, by_stack, refine_data,
+                        refine_rows, refine_cols, trans=False,
+                    )
+                    t_stack = _refine_stack(
+                        factors, t_stack, by_stack, refine_data,
+                        refine_rows, refine_cols, trans=True,
+                    )
+            sr, si = s_stack[:, 0::2, :], s_stack[:, 1::2, :]
+            tr, ti = t_stack[:, 0::2, :], t_stack[:, 1::2, :]
+            # q = sum_k Re(sigma_k S_k) + Re(conj(sigma_k) T_k)
+            q = (
+                jnp.einsum("k,knm->nm", sig_re, sr)
+                - jnp.einsum("k,knm->nm", sig_im, si)
+                + jnp.einsum("k,knm->nm", sig_re, tr)
+                + jnp.einsum("k,knm->nm", sig_im, ti)
+            ).astype(in_dtype)
+        else:
+            by = spmm(mat_b, y).astype(cdtype)
+            by_stack = jnp.broadcast_to(by, (ne,) + by.shape)
+            s_stack = _solve_all(factors, by_stack, False)
+            t_stack = _solve_all(factors, by_stack, True)
+            sig = jnp.asarray(sigma)
+            q = (
+                jnp.einsum("k,knm->nm", sig, s_stack)
+                + jnp.einsum("k,knm->nm", jnp.conj(sig), t_stack)
+            )
+            if real_input:
+                q = q.real.astype(in_dtype)
 
         # ---- orthonormalize the filtered subspace before the reduced solve:
         # keeps Bq well-conditioned so the Ritz residual floor reaches

@@ -114,3 +114,42 @@ def test_invalid_args():
         eigsh(2, (1.0, 1.0), a)
     with pytest.raises(ValueError, match="m0"):
         eigsh(0, (0.0, 1.0), a)
+
+
+def test_embedded_strategy_matches_native():
+    """Complex solves through the real 2n embedding (the TPU path) must
+    reproduce the native-complex results exactly."""
+    a = laplacian_1d(24, dtype=np.float64)
+    p_nat = FeastParams(tol=1e-12, complex_strategy="native")
+    p_emb = FeastParams(tol=1e-12, complex_strategy="embedded")
+    r_nat = eigsh(8, (0.5, 1.5), a, p_nat)
+    r_emb = eigsh(8, (0.5, 1.5), a, p_emb)
+    assert r_emb.n_found == r_nat.n_found
+    np.testing.assert_allclose(r_emb.values, r_nat.values, rtol=1e-12)
+    assert r_emb.epsout < 1e-12
+
+
+def test_embedded_multifrontal_loop_batching():
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    g = 12
+    a = poisson_2d(g, dtype=np.float64)
+    exact = np.sort(np.linalg.eigvalsh(np.asarray(a.todense())))
+    res = eigsh(
+        8, (0.0, float(exact[3]) + 1e-9), a,
+        FeastParams(tol=1e-11, complex_strategy="embedded",
+                    backend="multifrontal", dims=(g, g),
+                    contour_batching="loop"),
+    )
+    assert res.n_found == 4
+    np.testing.assert_allclose(res.values, exact[:4], rtol=1e-10)
+
+
+def test_embedded_rejects_complex_input():
+    a = sl.from_triples(
+        (2, 2), [0, 0, 1, 1], [0, 1, 0, 1],
+        np.array([2.0, -1j, 1j, 2.0], dtype=np.complex128),
+    ).tocsr()
+    with pytest.raises(NotImplementedError, match="embedded"):
+        eigsh(2, (0.0, 4.0), a,
+              FeastParams(complex_strategy="embedded"))
