@@ -143,11 +143,11 @@ def _solve_all(factors, b_stack, trans):
     return solve_api.solve_batched(factors, b_stack, trans=trans)
 
 
-def _refine_stack(factors, x_stack, b_stack, data64, rows, cols, trans):
+def _refine_stack(factors, x64, b64, solve_dtype, data64, rows, cols, trans):
     """One mixed-precision refinement step on a batched embedded solve:
-    r_k = b_k - E_k x_k computed in f64, correction solved on the f32
-    factors.  E_k given as stacked canonical data over a shared pattern."""
-    x64 = x_stack.astype(jnp.float64)
+    r_k = b_k - E_k x_k computed in f64, correction solved in the factors'
+    (lower) precision, accumulation kept in f64 — the result must NOT be
+    rounded back to f32 or the refinement floor is the f32 representation."""
     if trans:
         # E^T x: swap roles of rows/cols in the scatter
         ax = jnp.zeros_like(x64).at[:, cols, :].add(
@@ -157,9 +157,9 @@ def _refine_stack(factors, x_stack, b_stack, data64, rows, cols, trans):
         ax = jnp.zeros_like(x64).at[:, rows, :].add(
             data64[:, :, None] * x64[:, cols, :], mode="drop"
         )
-    r = b_stack.astype(jnp.float64) - ax
-    dx = _solve_all(factors, r.astype(x_stack.dtype), trans)
-    return (x64 + dx.astype(jnp.float64)).astype(x_stack.dtype)
+    r = b64 - ax
+    dx = _solve_all(factors, r.astype(solve_dtype), trans)
+    return x64 + dx.astype(jnp.float64)
 
 
 def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
@@ -235,10 +235,14 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
                 symbolic = solve_api.analyze(pattern_r, backend="multifrontal")
         else:
             symbolic = solve_api.analyze(pattern_r, backend=params.backend)
-        solve_dtype = np.float32 if jax.default_backend() == "tpu" else np.float64
-        data_stack = ce.embed_data(
-            jnp.asarray(data_stack_c), eperm
-        ).astype(solve_dtype)
+        solve_dtype = (
+            np.float32 if jax.default_backend() != "cpu" else np.float64
+        )
+        # host-side embedding: data_stack_c is host complex data and complex
+        # device ops are unsupported on TPU
+        data_stack = jnp.asarray(
+            ce.embed_data(data_stack_c, eperm).astype(solve_dtype)
+        )
         pattern_mat = pattern_r
     else:
         symbolic = solve_api.analyze(union_b, backend=params.backend, **opts)
@@ -276,12 +280,12 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
             )
             for k in range(ne)
         ]
-    factors_dtype_f32 = use_embed and jax.default_backend() == "tpu" 
+    factors_dtype_f32 = use_embed and jax.default_backend() != "cpu" 
     refine_data = refine_rows = refine_cols = None
     if use_embed and params.refine_solves > 0:
         # f64 embedded data for residual SpMVs in per-node refinement
-        refine_data = ce.embed_data(jnp.asarray(data_stack_c), eperm).astype(
-            np.float64
+        refine_data = jnp.asarray(
+            ce.embed_data(data_stack_c, eperm).astype(np.float64)
         )
         refine_rows = pattern_r.row_ids()
         refine_cols = pattern_r.indices
@@ -302,6 +306,7 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
     lam_scale = max(abs(emin), abs(emax), 1.0)
     info = INFO_NOT_CONVERGED
     epsout = np.inf
+    eps_prev = np.inf
     lam_np = np.zeros((0,))
     res_np = np.zeros((0,))
     x_np = np.zeros((n, 0))
@@ -317,20 +322,20 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
             from sparse_linear_tpu.solve import complex_embed as ce
 
             by = spmm(mat_b, y)
-            by_e = ce.embed_vec(by.astype(
-                jnp.float32 if factors_dtype_f32 else jnp.float64
-            ))
-            by_stack = jnp.broadcast_to(by_e, (ne,) + by_e.shape)
-            s_stack = _solve_all(factors, by_stack, False)
-            t_stack = _solve_all(factors, by_stack, True)
+            sdt = jnp.float32 if factors_dtype_f32 else jnp.float64
+            by_e64 = ce.embed_vec(by.astype(jnp.float64))
+            by_stack64 = jnp.broadcast_to(by_e64, (ne,) + by_e64.shape)
+            by_stack = by_stack64.astype(sdt)
+            s_stack = _solve_all(factors, by_stack, False).astype(jnp.float64)
+            t_stack = _solve_all(factors, by_stack, True).astype(jnp.float64)
             if params.refine_solves > 0:
                 for _ in range(params.refine_solves):
                     s_stack = _refine_stack(
-                        factors, s_stack, by_stack, refine_data,
+                        factors, s_stack, by_stack64, sdt, refine_data,
                         refine_rows, refine_cols, trans=False,
                     )
                     t_stack = _refine_stack(
-                        factors, t_stack, by_stack, refine_data,
+                        factors, t_stack, by_stack64, sdt, refine_data,
                         refine_rows, refine_cols, trans=True,
                     )
             sr, si = s_stack[:, 0::2, :], s_stack[:, 1::2, :]
@@ -404,6 +409,11 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
         if m_found == 0 and loop >= 2:
             info = INFO_NO_EIGENVALUES
             break
+        # stagnation: the residual floor of the solver accuracy has been
+        # reached (inexact solves); further subspace iterations cannot help
+        if loop >= 2 and epsout > 0.5 * eps_prev:
+            break
+        eps_prev = epsout
 
     if len(lam_np) == m0:
         # all m0 Ritz pairs land inside the interval: the subspace is (or may

@@ -73,7 +73,19 @@ def embed_pattern(mat: CSR):
 
 def embed_data(values, perm):
     """Complex values (..., nnz) -> embedded real data (..., 4*nnz) in the
-    canonical order of the embedded pattern.  Jittable (pure gathers)."""
+    canonical order of the embedded pattern.
+
+    numpy input stays on host (complex device ops are unsupported — and on
+    the TPU remote-compile path they hang rather than error); jnp input runs
+    as pure gathers (for real dtypes / CPU complex).
+    """
+    if isinstance(values, np.ndarray):
+        re = np.real(values)
+        im = np.imag(values)
+        expanded = np.stack([re, -im, im, re], axis=-1).reshape(
+            values.shape[:-1] + (values.shape[-1] * 4,)
+        )
+        return expanded[..., np.asarray(perm)]
     values = jnp.asarray(values)
     re = jnp.real(values)
     im = jnp.imag(values)
