@@ -1,0 +1,61 @@
+"""Automatic fast-format selection.
+
+The interchange formats (COO/CSR/CSC) are correct everywhere but their
+scatter/gather SpMV is slow on TPU (XLA serializes 1-D scatter-adds).  The
+structured formats are the fast path; this module picks one from pattern
+statistics:
+
+  * DIA  — when the pattern is a small set of diagonals (stencils).
+  * ELL  — when row lengths are nearly uniform (max/mean <= ell_slack).
+  * BSR  — otherwise, with (8, 128)-aligned blocks when density inside
+    blocks is acceptable; falls back to ELL.
+
+``to_fast_format(mat)`` returns an equivalent structured matrix whose ``@``
+runs the corresponding kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sparse_linear_tpu.formats.matrix import CSR
+from sparse_linear_tpu.formats.structured import (
+    csr_to_bsr,
+    csr_to_dia,
+    csr_to_ell,
+)
+from sparse_linear_tpu.ops.build import trim
+
+__all__ = ["to_fast_format", "recommend_format"]
+
+
+def recommend_format(mat: CSR, max_diags: int = 32,
+                     ell_slack: float = 2.0) -> str:
+    """Inspect the pattern and name the best structured format."""
+    mat = trim(mat.tocsr())
+    nr, nc = mat.shape
+    rows = np.asarray(mat.row_ids(), dtype=np.int64)
+    cols = np.asarray(mat.indices, dtype=np.int64)
+    if rows.size == 0:
+        return "dia"
+    ndiags = np.unique(cols - rows).size
+    if ndiags <= max_diags:
+        return "dia"
+    row_nnz = np.diff(np.asarray(mat.indptr))
+    mean = max(float(row_nnz.mean()), 1.0)
+    if float(row_nnz.max()) <= ell_slack * mean:
+        return "ell"
+    if nr % 8 == 0 and nc % 128 == 0:
+        return "bsr"
+    return "ell"
+
+
+def to_fast_format(mat: CSR, **opts):
+    """Convert to the recommended structured format (host-side)."""
+    kind = recommend_format(mat, **opts)
+    mat = mat.tocsr()
+    if kind == "dia":
+        return csr_to_dia(mat, max_diags=2 ** 31)
+    if kind == "ell":
+        return csr_to_ell(mat)
+    return csr_to_bsr(mat, block_shape=(8, 128))

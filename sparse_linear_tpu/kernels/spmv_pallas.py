@@ -43,7 +43,7 @@ def _shifted(window, q, r, rows):
     return jnp.where(lane < _LANES - r, a, b)
 
 
-def _kernel(offsets, rows, wrows, base_row, x_hbm, data_ref, out_ref,
+def _kernel(offsets, rows, wrows, base_row, alpha, x_hbm, data_ref, out_ref,
             w0, w1, s0, s1):
     i = pl.program_id(0)
     n_prog = pl.num_programs(0)
@@ -72,7 +72,7 @@ def _kernel(offsets, rows, wrows, base_row, x_hbm, data_ref, out_ref,
             s = off - offsets[0]  # static relative shift >= 0
             acc = acc + data_ref[d] * _shifted(window, s // _LANES,
                                                s % _LANES, rows)
-        out_ref[:, :] = acc
+        out_ref[:, :] = acc if alpha is None else acc * alpha
 
     @pl.when(slot0)
     def _():
@@ -85,11 +85,13 @@ def _kernel(offsets, rows, wrows, base_row, x_hbm, data_ref, out_ref,
         accumulate(w1)
 
 
-def dia_spmv_pallas(dia, x, tile: int = 131072):
-    """y = A @ x for DIA storage via the Pallas streaming kernel.
+def dia_spmv_pallas(dia, x, tile: int = 131072, alpha: float | None = None):
+    """y = (alpha *) A @ x for DIA storage via the Pallas streaming kernel.
 
     Any shape (padded transparently); real dtypes; ``tile`` is the elements
-    per grid step, a multiple of 1024."""
+    per grid step, a multiple of 1024.  ``alpha`` fuses a scalar rescale into
+    the kernel's output write (free bandwidth vs a separate elementwise op —
+    the common iterative-method idiom)."""
     nr, nc = dia.shape
     if tile % 1024:
         raise ValueError("tile must be a multiple of 1024")
@@ -126,7 +128,8 @@ def dia_spmv_pallas(dia, x, tile: int = 131072):
 
     grid = (nr_pad // tile,)
     out = pl.pallas_call(
-        functools.partial(_kernel, offsets, rows, wrows, base // _LANES),
+        functools.partial(_kernel, offsets, rows, wrows, base // _LANES,
+                          alpha),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM

@@ -131,3 +131,40 @@ def test_dia_spmv_pallas_interpret(rng):
         np.testing.assert_allclose(
             np.asarray(y), np.asarray(dia_spmv(a, x)), atol=1e-4
         )
+
+
+def test_format_selection(rng):
+    from sparse_linear_tpu.formats.select import recommend_format, to_fast_format
+    from sparse_linear_tpu.formats.structured import DIA, ELL
+
+    a = poisson_2d(8, dtype=np.float64)
+    assert recommend_format(a) == "dia"
+    fast = to_fast_format(a)
+    assert isinstance(fast, DIA)
+    x = rng.standard_normal(64)
+    np.testing.assert_allclose(np.asarray(fast @ x),
+                               np.asarray(a.todense()) @ x, atol=1e-12)
+    # scattered random pattern with uniform-ish rows -> ELL
+    m = (rng.random((24, 24)) < 0.2) | np.eye(24, dtype=bool)
+    b = sl.from_dense(m.astype(np.float64))
+    kind = recommend_format(b, max_diags=8)
+    assert kind in ("ell", "bsr")
+    fastb = to_fast_format(b, max_diags=8)
+    xb = rng.standard_normal(24)
+    np.testing.assert_allclose(np.asarray(fastb @ xb),
+                               np.asarray(b.todense()) @ xb, atol=1e-12)
+
+
+def test_pallas_fused_alpha(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sparse_linear_tpu.kernels.spmv import dia_spmv
+    from sparse_linear_tpu.kernels.spmv_pallas import dia_spmv_pallas
+
+    a = poisson_2d(16, dtype=np.float32, fmt="dia")
+    x = jnp.asarray(rng.standard_normal(256), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = dia_spmv_pallas(a, x, tile=1024, alpha=0.5)
+    np.testing.assert_allclose(
+        np.asarray(y), 0.5 * np.asarray(dia_spmv(a, x)), atol=1e-4
+    )
