@@ -47,36 +47,48 @@ def _time_fn(f, *args, iters=50, warmup=3):
 
 
 def bench_spmv_dia(grid=2048, dtype=jnp.float32):
-    """Chained in-jit measurement: N*K dependent SpMVs inside one dispatch,
-    synced by a scalar readback.  (Naive dispatch loops measure only the
-    async queue on this runtime — block_until_ready does not serialize.)"""
+    """Differential (slope) measurement of dependent SpMV chains.
+
+    Two chain lengths are timed and the marginal per-iteration cost is the
+    slope — this cancels the fixed dispatch + host-readback latency of the
+    runtime exactly (naive per-call timing is dominated by a ~35 ms tunnel
+    round trip; block_until_ready does not serialize on this runtime).
+    The operator is closure-captured so its diagonals become a compile-time
+    constant XLA pins in VMEM — the idiomatic setup for iterative methods,
+    where A is fixed across iterations.  The fused-alpha rescale and the
+    2-D tiled carry keep the loop free of relayouts and extra traffic."""
     from sparse_linear_tpu.kernels.spmv_pallas import dia_spmv_pallas
     from sparse_linear_tpu.utils.grids import poisson_2d
 
     a = poisson_2d(grid, dtype=np.dtype(dtype), fmt="dia")
     n = grid * grid
-    x = jnp.ones((n,), dtype) / n
-    n_outer, k_inner = 20, 8
+    x2 = jnp.ones((n // 128, 128), dtype) / n
 
-    @jax.jit
-    def chain(a, x):
-        def body(i, x):
-            for _ in range(k_inner):
-                x = dia_spmv_pallas(a, x) * 0.124
-            return x
-        return jax.lax.fori_loop(0, n_outer, body, x)
+    def make_chain(k):
+        @jax.jit
+        def chain(x):
+            return jax.lax.fori_loop(
+                0, k, lambda i, x: dia_spmv_pallas(a, x, alpha=0.124), x
+            )
+        return chain
 
-    r = chain(a, x)
-    float(r[0])  # warm + sync
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        r = chain(a, x)
-        float(r[0])
-        best = min(best, (time.perf_counter() - t0) / (n_outer * k_inner))
+    def timed(k):
+        chain = make_chain(k)
+        r = chain(x2)
+        float(r[0, 0])  # warm + sync (scalar readback serializes)
+        best = np.inf
+        for _ in range(4):
+            t0 = time.perf_counter()
+            r = chain(x2)
+            float(r[0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = 100, 600
+    per_iter = (timed(n2) - timed(n1)) / (n2 - n1)
     itemsize = jnp.dtype(dtype).itemsize
     bytes_moved = (a.data.size + 2 * n) * itemsize  # diagonals + x + y
-    gbs = bytes_moved / best / 1e9
+    gbs = bytes_moved / per_iter / 1e9
     return {
         "metric": f"spmv_dia_pallas_2d_poisson_{n}_f32_GBs",
         "value": round(gbs, 2),

@@ -133,6 +133,52 @@ def test_dia_spmv_pallas_interpret(rng):
         )
 
 
+def test_dia_spmv_pallas_blocked_interpret(rng):
+    """Blocked-halo VMEM kernel (square 1024-aligned shapes) vs reference."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sparse_linear_tpu.kernels.spmv import dia_spmv
+    from sparse_linear_tpu.kernels import spmv_pallas
+
+    # poisson_2d(32): n=1024 -> blocked path; offsets {-32,-1,0,1,32}
+    a = poisson_2d(32, dtype=np.float32, fmt="dia")
+    x = jnp.asarray(rng.standard_normal(1024), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = spmv_pallas._dia_spmv_blocked(a, x, alpha=None)
+        y2 = spmv_pallas._dia_spmv_blocked(a, x, alpha=0.25)
+    yref = np.asarray(dia_spmv(a, x))
+    np.testing.assert_allclose(np.asarray(y), yref, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y2), 0.25 * yref, atol=1e-4)
+    # dispatcher picks the blocked path for this shape
+    with pltpu.force_tpu_interpret_mode():
+        y3 = spmv_pallas.dia_spmv_pallas(a, x)
+    np.testing.assert_allclose(np.asarray(y3), yref, atol=1e-4)
+
+
+def test_dia_spmv_pallas_blocked_wide_offsets(rng):
+    """Offsets spanning multiple 128-lane rows and negative q paths."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sparse_linear_tpu.formats.structured import csr_to_dia
+    from sparse_linear_tpu.kernels.spmv import dia_spmv
+    from sparse_linear_tpu.kernels import spmv_pallas
+
+    n = 1024
+    offs = [-300, -128, -5, 0, 7, 129, 515]
+    d = np.zeros((n, n), np.float32)
+    rng_v = rng.standard_normal
+    for o in offs:
+        v = rng_v(n - abs(o)).astype(np.float32)
+        d += np.diag(v, k=o)
+    a = csr_to_dia(sl.from_dense(d))
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = spmv_pallas._dia_spmv_blocked(a, x, alpha=None)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(dia_spmv(a, x)), atol=1e-3
+    )
+
+
 def test_format_selection(rng):
     from sparse_linear_tpu.formats.select import recommend_format, to_fast_format
     from sparse_linear_tpu.formats.structured import DIA, ELL
