@@ -162,6 +162,174 @@ def _refine_stack(factors, x64, b64, solve_dtype, data64, rows, cols, trans):
     return x64 + dx.astype(jnp.float64)
 
 
+def _host_embed_matrix(mat, dtype=np.float64):
+    """Complex sparse matrix -> embedded real CSR with host-side data
+    movement (complex gathers are unsupported on TPU)."""
+    from sparse_linear_tpu.formats.matrix import CSR as _CSR
+    from sparse_linear_tpu.solve import complex_embed as ce
+
+    pat, perm = ce.embed_pattern(mat)
+    data = ce.embed_data(np.asarray(mat.data), np.asarray(perm))
+    return _CSR(indptr=pat.indptr, indices=pat.indices,
+                data=jnp.asarray(data.astype(dtype)), shape=pat.shape)
+
+
+def _np_embed(x):
+    """Host interleave: complex (n, ...) -> real f64 (2n, ...)."""
+    x = np.asarray(x)
+    out = np.empty((2 * x.shape[0],) + x.shape[1:], np.float64)
+    out[0::2] = x.real
+    out[1::2] = x.imag
+    return out
+
+
+def _geigsh_embedded_complex(*, m0, n, ne, emin, emax, params, guess, cdtype,
+                             union_a, union_b, factors, factors_dtype_f32,
+                             refine_data, refine_rows, refine_cols,
+                             sigma) -> EigResult:
+    """Complex-Hermitian FEAST through the real 2n embedding, end to end.
+
+    The reference's zfeast path (Feast/Internal.hs:61-65) runs native complex
+    arithmetic; TPUs have no complex sparse ops, so every stage here is real:
+    SpMMs through the embedded operators, shifted solves on the embedded
+    factors, quadrature as split re/im scalar combinations, the subspace
+    Gram/whitening and Rayleigh-Ritz products as real MXU matmuls
+    (complex_embed.gram_embedded / rmul_embedded).  Only the m0 x m0 reduced
+    eigenproblem and the whitening Cholesky run in host complex arithmetic.
+    """
+    from sparse_linear_tpu.solve import complex_embed as ce
+
+    a_e = _host_embed_matrix(union_a)
+    b_e = _host_embed_matrix(union_b)
+
+    sig_re = jnp.asarray(np.real(sigma))
+    sig_im = jnp.asarray(np.imag(sigma))
+    sdt = jnp.float32 if factors_dtype_f32 else jnp.float64
+
+    if guess is not None:
+        y0 = np.asarray(guess, dtype=cdtype)
+        if y0.shape != (n, m0):
+            raise ValueError(f"geigsh: guess must have shape {(n, m0)}")
+    else:
+        rng0 = np.random.default_rng(params.seed)
+        y0 = (rng0.standard_normal((n, m0))
+              + 1j * rng0.standard_normal((n, m0)))
+    ye = jnp.asarray(_np_embed(y0))
+
+    lam_scale = max(abs(emin), abs(emax), 1.0)
+    info = INFO_NOT_CONVERGED
+    epsout = np.inf
+    eps_prev = np.inf
+    lam_np = np.zeros((0,))
+    res_np = np.zeros((0,))
+    x_np = np.zeros((n, 0), dtype=cdtype)
+    loops_done = 0
+
+    for loop in range(params.max_loops):
+        loops_done = loop + 1
+        by_e64 = spmm(b_e, ye)                       # f64 embedded B y
+        by_stack64 = jnp.broadcast_to(by_e64, (ne,) + by_e64.shape)
+        by_stack = by_stack64.astype(sdt)
+        s_stack = _solve_all(factors, by_stack, False).astype(jnp.float64)
+        t_stack = _solve_all(factors, by_stack, True).astype(jnp.float64)
+        for _ in range(params.refine_solves):
+            s_stack = _refine_stack(factors, s_stack, by_stack64, sdt,
+                                    refine_data, refine_rows, refine_cols,
+                                    trans=False)
+            t_stack = _refine_stack(factors, t_stack, by_stack64, sdt,
+                                    refine_data, refine_rows, refine_cols,
+                                    trans=True)
+        sr, si = s_stack[:, 0::2, :], s_stack[:, 1::2, :]
+        tr, ti = t_stack[:, 0::2, :], t_stack[:, 1::2, :]
+        # q = sum_k sigma_k S_k + conj(sigma_k) T_k, split into re/im
+        q_re = (jnp.einsum("k,knm->nm", sig_re, sr)
+                - jnp.einsum("k,knm->nm", sig_im, si)
+                + jnp.einsum("k,knm->nm", sig_re, tr)
+                + jnp.einsum("k,knm->nm", sig_im, ti))
+        q_im = (jnp.einsum("k,knm->nm", sig_im, sr)
+                + jnp.einsum("k,knm->nm", sig_re, si)
+                - jnp.einsum("k,knm->nm", sig_im, tr)
+                + jnp.einsum("k,knm->nm", sig_re, ti))
+        qe = ce.merge_embedded(q_re, q_im)
+
+        # whitening (the complex analog of the real path's QR): Gram via
+        # real matmuls, spectral inverse square root on host
+        gre, gim = ce.gram_embedded(qe, qe)
+        g = np.asarray(gre) + 1j * np.asarray(gim)
+        wb, vb = np.linalg.eigh(0.5 * (g + g.conj().T))
+        floor = max(float(wb.max()), 0.0) * 1e-14 + np.finfo(float).tiny
+        white = vb / np.sqrt(np.maximum(wb, floor))
+        qe = ce.rmul_embedded(qe, jnp.asarray(white.real),
+                              jnp.asarray(white.imag))
+
+        # Rayleigh-Ritz: reduced complex blocks from embedded products
+        aq_full = spmm(a_e, qe)
+        bq_full = spmm(b_e, qe)
+        aq_re, aq_im = ce.gram_embedded(qe, aq_full)
+        bq_re, bq_im = ce.gram_embedded(qe, bq_full)
+        aq = np.asarray(aq_re) + 1j * np.asarray(aq_im)
+        bq = np.asarray(bq_re) + 1j * np.asarray(bq_im)
+        lam, coeff = _reduced_geig(aq, bq)
+        xe = ce.rmul_embedded(qe, jnp.asarray(np.ascontiguousarray(coeff.real)),
+                              jnp.asarray(np.ascontiguousarray(coeff.imag)))
+
+        # residuals: ||A x - lam B x|| == embedded norms (lam is real)
+        ax_e = spmm(a_e, xe)
+        bx_e = spmm(b_e, xe)
+        r_e = np.asarray(ax_e) - np.asarray(bx_e) * lam[None, :]
+        rnorm = np.linalg.norm(r_e, axis=0)
+        xnorm = np.maximum(np.linalg.norm(np.asarray(xe), axis=0),
+                           np.finfo(float).tiny)
+        res = rnorm / (lam_scale * xnorm)
+
+        inside = (lam >= emin) & (lam <= emax)
+        m_found = int(inside.sum())
+        epsout = float(res[inside].max()) if m_found else float(res.max())
+        if params.debug:
+            print(f"feast(zembed) loop {loop}: m={m_found}, "
+                  f"epsout={epsout:.3e}")
+
+        xe_np = np.asarray(xe)
+        x_all = (xe_np[0::2] + 1j * xe_np[1::2]).astype(cdtype)
+        lam_np, res_np, x_np = lam[inside], res[inside], x_all[:, inside]
+
+        # warm-restart subspace: kept Ritz vectors + random refill
+        y_next = np.zeros((n, m0), dtype=cdtype)
+        y_next[:, : x_all.shape[1]] = x_all
+        if x_all.shape[1] < m0:
+            rng_fill = np.random.default_rng(params.seed + loop + 1)
+            fill = (rng_fill.standard_normal((n, m0 - x_all.shape[1]))
+                    + 1j * rng_fill.standard_normal((n, m0 - x_all.shape[1])))
+            y_next[:, x_all.shape[1]:] = fill.astype(cdtype)
+        ye = jnp.asarray(_np_embed(y_next))
+
+        if m_found and epsout <= params.tol:
+            info = INFO_OK
+            break
+        if m_found == 0 and loop >= 2:
+            info = INFO_NO_EIGENVALUES
+            break
+        if loop >= 2 and epsout > 0.5 * eps_prev:
+            break
+        eps_prev = epsout
+
+    if len(lam_np) == m0:
+        info = INFO_SUBSPACE_TOO_SMALL
+
+    order = np.argsort(lam_np)
+    ye_np = np.asarray(ye)
+    return EigResult(
+        values=lam_np[order],
+        vectors=x_np[:, order],
+        n_found=len(lam_np),
+        iterations=loops_done,
+        epsout=epsout,
+        residuals=res_np[order],
+        info=info,
+        subspace=(ye_np[0::2] + 1j * ye_np[1::2]).astype(cdtype),
+    )
+
+
 def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
            guess=None, mesh=None, contour_axis: str = "cp") -> EigResult:
     """Generalized Hermitian interval eigenproblem A x = lambda B x,
@@ -179,13 +347,29 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
         raise ValueError("geigsh: A and B must be square and equal-sized")
     if m0 < 1 or m0 > n:
         raise ValueError(f"geigsh: m0 must be in [1, {n}]")
-    if params.check_hermitian:
-        _check_hermitian(mat_a, "A")
-        _check_hermitian(mat_b, "B")
 
     in_dtype = np.result_type(mat_a.dtype, mat_b.dtype)
     real_input = not np.issubdtype(in_dtype, np.complexfloating)
     cdtype = complex_of(in_dtype)
+
+    # complex sparse construction/dense ops (sort/segment/scatter) are
+    # unsupported on TPU: pin the input matrices and all host-side complex
+    # algebra (hermitian checks, the union lin) to the CPU; the embedded
+    # pipeline below returns everything to the device as real arrays.
+    import contextlib
+
+    if real_input:
+        host_ctx = contextlib.nullcontext
+    else:
+        cpu = jax.devices("cpu")[0]
+        mat_a = jax.device_put(mat_a, cpu)
+        mat_b = jax.device_put(mat_b, cpu)
+        host_ctx = lambda: jax.default_device(cpu)  # noqa: E731
+
+    with host_ctx():
+        if params.check_hermitian:
+            _check_hermitian(mat_a, "A")
+            _check_hermitian(mat_b, "B")
 
     # ---- contour + shifted factorizations (ijob=10, hoisted out of the loop)
     # All contour nodes share one pattern (union of A and B); one symbolic,
@@ -196,23 +380,17 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
     ne = len(z_nodes)
     opts = {"dims": params.dims} if params.dims is not None else {}
     # union-pattern matrices carrying B resp. A values; keep them in the
-    # input's real dtype for real pencils (complex construction would run
-    # complex device ops, unsupported on TPU)
+    # input's real dtype for real pencils
     one = 1.0 if real_input else 1.0 + 0.0j
     zero = 0.0 if real_input else 0.0 + 0.0j
-    union_b = lin(one, mat_b, zero, mat_a)  # union pattern, B values
-    union_a = lin(zero, mat_b, one, mat_a)  # union pattern, A values
+    with host_ctx():
+        union_b = lin(one, mat_b, zero, mat_a)  # union pattern, B values
+        union_a = lin(zero, mat_b, one, mat_a)  # union pattern, A values
 
     use_embed = params.complex_strategy == "embedded" or (
         params.complex_strategy == "auto"
         and jax.default_backend() not in ("cpu",)
     )
-    if use_embed and not real_input:
-        raise NotImplementedError(
-            "embedded complex strategy currently supports real-symmetric "
-            "pencils (the TPU path); complex Hermitian inputs run with "
-            "complex_strategy='native' on CPU"
-        )
     data_stack_c = (
         np.asarray(z_nodes)[:, None] * np.asarray(union_b.data)[None, :]
         - np.asarray(union_a.data)[None, :]
@@ -291,6 +469,19 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
         refine_cols = pattern_r.indices
     sig_re = jnp.asarray(np.real(sigma))
     sig_im = jnp.asarray(np.imag(sigma))
+
+    if use_embed and not real_input:
+        # complex Hermitian pencil on an accelerator: the whole subspace
+        # iteration runs through the real 2n embedding — SpMMs and Gram
+        # products as real MXU matmuls, solves on the embedded factors,
+        # only the m0 x m0 reduced eigenproblem in host complex arithmetic.
+        return _geigsh_embedded_complex(
+            m0=m0, n=n, ne=ne, emin=emin, emax=emax, params=params,
+            guess=guess, cdtype=cdtype, union_a=union_a, union_b=union_b,
+            factors=factors, factors_dtype_f32=factors_dtype_f32,
+            refine_data=refine_data, refine_rows=refine_rows,
+            refine_cols=refine_cols, sigma=sigma,
+        )
 
     # ---- initial subspace (fpm[4]: warm start when guess given)
     if guess is not None:

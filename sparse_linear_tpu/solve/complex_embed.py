@@ -121,6 +121,41 @@ def unembed_vec(x):
     return jax.lax.complex(y[:, 0], y[:, 1])
 
 
+def split_embedded(xe):
+    """Embedded (2n, ...) -> (re, im) halves, each (n, ...)."""
+    return xe[0::2], xe[1::2]
+
+
+def merge_embedded(re, im):
+    """Inverse of :func:`split_embedded` (interleave rows)."""
+    return jnp.stack([re, im], axis=1).reshape(
+        (2 * re.shape[0],) + re.shape[1:]
+    )
+
+
+def gram_embedded(ae, be):
+    """Complex Gram block A^H B from embedded operands, as real matmuls.
+
+    ae, be: embedded (2n, m).  Returns (re, im) of the complex (m, m)
+    product — every flop is a real MXU matmul, so the complex Rayleigh-Ritz
+    algebra runs on TPUs with no complex device ops.
+    """
+    ar, ai = split_embedded(ae)
+    br, bi = split_embedded(be)
+    re = ar.T @ br + ai.T @ bi
+    im = ar.T @ bi - ai.T @ br
+    return re, im
+
+
+def rmul_embedded(xe, c_re, c_im):
+    """Right-multiply an embedded (2n, m) block by a complex (m, k) matrix
+    given as (c_re, c_im); returns the embedded (2n, k) result."""
+    xr, xi = split_embedded(xe)
+    re = xr @ c_re - xi @ c_im
+    im = xr @ c_im + xi @ c_re
+    return merge_embedded(re, im)
+
+
 def embed_perm(perm):
     """Elimination order for the embedded graph from an order of the original
     graph: node i's (real, imag) pair stays adjacent, preserving the

@@ -20,7 +20,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["natural", "rcm", "nested_dissection_grid", "ordering_by_name"]
+__all__ = ["natural", "rcm", "amd", "nested_dissection_grid",
+           "ordering_by_name"]
 
 
 def natural(n: int) -> np.ndarray:
@@ -86,6 +87,18 @@ def rcm(indptr, indices, n: int) -> np.ndarray:
                 order[pos: pos + nb.size] = nb
                 pos += nb.size
     return order[::-1].copy().astype(np.int32)
+
+
+def amd(indptr, indices, n: int) -> np.ndarray:
+    """Approximate minimum degree (native C++ quotient-graph engine,
+    native/ordering.cpp — the ordering family UMFPACK uses internally).
+    Falls back to RCM when the native library is unavailable."""
+    from sparse_linear_tpu.utils.native import native_amd
+
+    perm = native_amd(n, indptr, indices)
+    if perm is None:
+        return rcm(indptr, indices, n)
+    return perm.astype(np.int32)
 
 
 def nested_dissection_grid(dims, leaf: int = 64) -> np.ndarray:
@@ -162,9 +175,11 @@ def ordering_by_name(name: str, indptr, indices, n: int, dims=None):
         return natural(n)
     if name == "rcm":
         return rcm(indptr, indices, n)
+    if name == "amd":
+        return amd(indptr, indices, n)
     if name in ("nd", "nested-dissection"):
         if dims is None:
-            raise ValueError("nested dissection needs grid dims; use rcm for "
-                             "general patterns")
+            raise ValueError("nested dissection needs grid dims; use amd "
+                             "for general patterns")
         return nested_dissection_grid(dims)
     raise ValueError(f"unknown ordering: {name}")

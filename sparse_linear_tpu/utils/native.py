@@ -27,9 +27,15 @@ _lib = None
 _tried = False
 
 
+_ORD_SRC_PATH = os.path.join(_NATIVE_DIR, "ordering.cpp")
+
+
 def _build():
+    srcs = [_SRC_PATH]
+    if os.path.exists(_ORD_SRC_PATH):
+        srcs.append(_ORD_SRC_PATH)
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", _SRC_PATH, "-o", _SO_PATH],
+        ["g++", "-O2", "-shared", "-fPIC", *srcs, "-o", _SO_PATH],
         check=True,
         capture_output=True,
     )
@@ -43,9 +49,11 @@ def load():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_SO_PATH) or (
-                os.path.exists(_SRC_PATH)
-                and os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
+            srcs = [p for p in (_SRC_PATH, _ORD_SRC_PATH)
+                    if os.path.exists(p)]
+            if not os.path.exists(_SO_PATH) or any(
+                os.path.getmtime(p) > os.path.getmtime(_SO_PATH)
+                for p in srcs
             ):
                 _build()
             lib = ctypes.CDLL(_SO_PATH)
@@ -63,8 +71,25 @@ def load():
         lib.slt_arrays.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, i32p, i32p]
         lib.slt_free.restype = None
         lib.slt_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "slt_amd"):
+            lib.slt_amd.restype = ctypes.c_int
+            lib.slt_amd.argtypes = [ctypes.c_int, i64p, i32p, i32p]
         _lib = lib
         return _lib
+
+
+def native_amd(n, indptr, indices):
+    """Approximate-minimum-degree permutation from the native library, or
+    None when unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "slt_amd"):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    perm = np.zeros(int(n), dtype=np.int32)
+    if lib.slt_amd(int(n), indptr, indices, perm):
+        return None
+    return perm
 
 
 def native_symbolic(n, indptr, indices, relax_small=16, relax_frac=0.25):

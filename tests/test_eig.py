@@ -145,11 +145,43 @@ def test_embedded_multifrontal_loop_batching():
     np.testing.assert_allclose(res.values, exact[:4], rtol=1e-10)
 
 
-def test_embedded_rejects_complex_input():
+def test_embedded_complex_hermitian_pencil():
+    """Complex-Hermitian inputs through the full embedded pipeline (the TPU
+    path: real SpMMs, embedded solves, Gram/whitening as real matmuls) must
+    match the native complex path."""
+    rng = np.random.default_rng(0)
+    n = 48
+    d = np.arange(1, n + 1).astype(np.complex128)
+    off = rng.standard_normal(n - 1) * 0.3 + 1j * rng.standard_normal(n - 1) * 0.3
+    rows = list(range(n)) + list(range(n - 1)) + list(range(1, n))
+    cols = list(range(n)) + list(range(1, n)) + list(range(n - 1))
+    vals = np.concatenate([d, off, off.conj()])
+    a = sl.from_triples((n, n), rows, cols, vals).tocsr()
+    ev = np.linalg.eigvalsh(np.asarray(a.todense()))
+    lo, hi = 4.5, 12.5
+    expect = ev[(ev >= lo) & (ev <= hi)]
+
+    p_emb = FeastParams(tol=1e-10, complex_strategy="embedded",
+                        contour_points=8)
+    r = eigsh(16, (lo, hi), a, p_emb)
+    assert r.n_found == len(expect)
+    np.testing.assert_allclose(np.sort(r.values), np.sort(expect), atol=1e-12)
+    assert r.epsout < 1e-10
+    # eigenvectors: residual check in complex arithmetic
+    x = r.vectors
+    dense = np.asarray(a.todense())
+    res = np.linalg.norm(dense @ x - x * r.values[None, :], axis=0)
+    assert res.max() < 1e-9
+
+
+def test_embedded_complex_analytic_2x2():
+    """The reference's analytic gate (test-feast.hs:14-32) with a complex
+    Hermitian matrix, through the embedded path."""
     a = sl.from_triples(
         (2, 2), [0, 0, 1, 1], [0, 1, 0, 1],
-        np.array([2.0, -1j, 1j, 2.0], dtype=np.complex128),
+        np.array([2, -1j, 1j, 2], np.complex128),
     ).tocsr()
-    with pytest.raises(NotImplementedError, match="embedded"):
-        eigsh(2, (0.0, 4.0), a,
-              FeastParams(complex_strategy="embedded"))
+    r = eigsh(2, (0.5, 1.5), a,
+              FeastParams(complex_strategy="embedded", tol=1e-10))
+    assert r.n_found == 1
+    np.testing.assert_allclose(r.values, [1.0], rtol=1e-10)
