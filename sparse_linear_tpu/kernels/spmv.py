@@ -63,8 +63,11 @@ def bsr_spmv(bsr, x):
         preferred_element_type=jnp.result_type(bsr.blocks, x),
     )
     brow = expand_indptr(bsr.indptr, int(bsr.blocks.shape[0]))
-    y = jnp.zeros((nbr, bm), dtype=contrib.dtype)
-    return y.at[brow].add(contrib, mode="drop").reshape(nr)
+    # block rows are nondecreasing by CSR construction: a sorted segment
+    # sum of full (bm,) slabs, not an element scatter
+    y = jax.ops.segment_sum(contrib, brow, num_segments=nbr,
+                            indices_are_sorted=True)
+    return y.reshape(nr)
 
 
 def bsr_spmm(bsr, b):
@@ -83,5 +86,6 @@ def bsr_spmm(bsr, b):
         preferred_element_type=jnp.result_type(bsr.blocks, b),
     )
     brow = expand_indptr(bsr.indptr, int(bsr.blocks.shape[0]))
-    y = jnp.zeros((nbr, bm, m), dtype=contrib.dtype)
-    return y.at[brow].add(contrib, mode="drop").reshape(nr, m)
+    y = jax.ops.segment_sum(contrib, brow, num_segments=nbr,
+                            indices_are_sorted=True)
+    return y.reshape(nr, m)

@@ -95,9 +95,11 @@ def analyze(mat, backend: str = "dense", **opts) -> Symbolic:
 
 
 def factor(mat, symbolic: Symbolic | None = None, backend: str = "dense",
-           **opts) -> Factors:
+           kind: str = "lu", **opts) -> Factors:
     """Numeric factorization (reference ``factor``, Umfpack.hs:71-83).
 
+    ``kind`` (multifrontal backend): "lu" for general matrices or
+    "cholesky" for SPD ones (3-7x faster fronts on TPU).
     Jit-compatible for the dense backend (matrix values may be traced)."""
     if symbolic is None:
         symbolic = analyze(mat, backend=backend, **opts)
@@ -108,7 +110,7 @@ def factor(mat, symbolic: Symbolic | None = None, backend: str = "dense",
     if symbolic.backend == "multifrontal":
         from sparse_linear_tpu.solve import multifrontal
 
-        return multifrontal.factor(mat, symbolic)
+        return multifrontal.factor(mat, symbolic, kind=kind)
     raise ValueError(f"unknown backend: {symbolic.backend}")
 
 

@@ -82,11 +82,12 @@ class MFFactors:
 
     backend = "multifrontal"
 
-    def __init__(self, symbolic: MFSymbolic, blocks, dtype):
+    def __init__(self, symbolic: MFSymbolic, blocks, dtype, kind="lu"):
         self.symbolic = symbolic
         self.blocks = blocks  # dict[(lvl, b)] -> dict(lu, perm, g21, g12)
         self.n = symbolic.n
         self.dtype = dtype
+        self.kind = kind  # "lu" (restricted partial pivoting) | "cholesky"
 
 
 # ---------------------------------------------------------------------------
@@ -342,6 +343,27 @@ def analyze(mat: CSR, ordering: str = "auto", dims=None,
 # MFSymbolic / MFFactors objects.
 
 
+def _bucket_factor_cholesky(front, ns_class):
+    """Batched Cholesky partial factorization of assembled SPD fronts.
+
+    XLA's TPU Cholesky is 3-7x faster than the pivoted LU at every bucket
+    shape (its panel loop is better blocked), and symmetry halves the
+    triangular-solve work: g21 = g12^T.  The identity padding rows
+    cholesky to identity, so padded fronts stay inert."""
+    f11 = front[:, :ns_class, :ns_class]
+    f12 = front[:, :ns_class, ns_class:]
+    f22 = front[:, ns_class:, ns_class:]
+    low = jax.vmap(jax.lax.linalg.cholesky)(f11)
+    g12 = jax.lax.linalg.triangular_solve(
+        low, f12, left_side=True, lower=True, unit_diagonal=False
+    )
+    g21 = jnp.conj(jnp.swapaxes(g12, 1, 2))
+    schur = f22 - jnp.matmul(g21, g12, preferred_element_type=f22.dtype)
+    nb = front.shape[0]
+    permutation = jnp.tile(jnp.arange(ns_class)[None, :], (nb, 1))
+    return low, permutation, g21, g12, schur
+
+
 def _bucket_factor(front, ns_class):
     """Batched partial factorization of assembled fronts.
 
@@ -397,10 +419,34 @@ def _device_maps(symbolic: MFSymbolic):
     return dm
 
 
-def _build_factor_fn(symbolic: MFSymbolic):
+def _build_factor_fn(symbolic: MFSymbolic, kind: str = "lu", mesh=None,
+                     batch_axis: str | None = None):
     flat = symbolic.schedule["flat"]
     level_buckets = symbolic.schedule["level_buckets"]
     height = symbolic.schedule["height"]
+    bucket_fn = _bucket_factor_cholesky if kind == "cholesky" \
+        else _bucket_factor
+
+    if mesh is not None:
+        # multi-chip multifrontal: fronts of a bucket are independent, so
+        # the batch dimension shards over the mesh (each chip factors its
+        # fronts); the cross-level extend-add gathers land on XLA-inserted
+        # collectives over ICI.  Fronts too few to split stay replicated.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = batch_axis or mesh.axis_names[0]
+        ndev = int(np.prod([mesh.shape[a] for a in (axis,)]))
+
+        def shard(x, nb):
+            spec = (PartitionSpec(axis, *([None] * (x.ndim - 1)))
+                    if nb % ndev == 0 else
+                    PartitionSpec(*([None] * x.ndim)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec)
+            )
+    else:
+        def shard(x, nb):
+            return x
 
     def run(a_data, dm):
         # TPU MXU f32 matmuls default to low-precision passes; the Schur
@@ -419,7 +465,7 @@ def _build_factor_fn(symbolic: MFSymbolic):
                 nb = b["sup_ids"].shape[0]
                 ns_c, us_c = b["Ns"], b["Us"]
                 fs = ns_c + us_c
-                front = jnp.zeros((nb, fs, fs), dtype=dtype)
+                front = shard(jnp.zeros((nb, fs, fs), dtype=dtype), nb)
 
                 am = dm["a"][bidx]
                 if am["src"].shape[0]:
@@ -453,19 +499,29 @@ def _build_factor_fn(symbolic: MFSymbolic):
                     pad_mask.astype(dtype)
                 )
 
-                lu, permutation, g21, g12, schur = _bucket_factor(front, ns_c)
+                lu, permutation, g21, g12, schur = bucket_fn(front, ns_c)
                 blocks[bidx] = {
                     "lu": lu, "perm": permutation, "g21": g21, "g12": g12,
                 }
-                updates[bidx] = schur
+                updates[bidx] = shard(schur, nb)
         return blocks
 
     return jax.jit(run)
 
 
-def factor(mat: CSR, symbolic: MFSymbolic) -> MFFactors:
+def factor(mat: CSR, symbolic: MFSymbolic, kind: str = "lu",
+           mesh=None, batch_axis: str | None = None) -> MFFactors:
     """Numeric factorization over the symbolic schedule (one compiled XLA
-    program; compile cost amortized across factorizations of the pattern)."""
+    program; compile cost amortized across factorizations of the pattern).
+
+    ``kind``: "lu" (default — restricted partial pivoting, general
+    matrices) or "cholesky" (SPD matrices: 3-7x faster fronts on TPU, the
+    CHOLMOD-analog path; fails with NaNs if the matrix is not positive
+    definite — pair with solve_refined, whose residual check catches it).
+
+    ``mesh``: shard each bucket's independent fronts over the mesh axis
+    ``batch_axis`` (multi-chip multifrontal — XLA inserts the extend-add
+    collectives over ICI)."""
     mat = trim(mat.tocsr())
     n = symbolic.n
     if mat.shape != (n, n):
@@ -481,11 +537,13 @@ def factor(mat: CSR, symbolic: MFSymbolic) -> MFFactors:
     if fns is None:
         fns = symbolic._factor_fns = {}
     a_data = jnp.asarray(mat.data)
-    fkey = str(a_data.dtype)
+    fkey = (str(a_data.dtype), kind, id(mesh) if mesh is not None else None,
+            batch_axis)
     if fkey not in fns:
-        fns[fkey] = _build_factor_fn(symbolic)
+        fns[fkey] = _build_factor_fn(symbolic, kind, mesh=mesh,
+                                     batch_axis=batch_axis)
     blocks = fns[fkey](a_data, dm)
-    return MFFactors(symbolic, blocks, a_data.dtype)
+    return MFFactors(symbolic, blocks, a_data.dtype, kind=kind)
 
 
 # ---------------------------------------------------------------------------
@@ -493,11 +551,15 @@ def factor(mat: CSR, symbolic: MFSymbolic) -> MFFactors:
 # ---------------------------------------------------------------------------
 
 
-def _build_solve_fn(symbolic: MFSymbolic, trans: bool):
+def _build_solve_fn(symbolic: MFSymbolic, trans: bool, kind: str = "lu"):
     flat = symbolic.schedule["flat"]
     level_buckets = symbolic.schedule["level_buckets"]
     height = symbolic.schedule["height"]
     n = symbolic.n
+    # Cholesky factors store L (non-unit lower) with U = L^H implicit and
+    # identity local permutations; the four triangular solves below switch
+    # their (lower, trans, unit_diagonal) flags accordingly.
+    chol = kind == "cholesky"
 
     def run(blocks, b, dm):
         with jax.default_matmul_precision("highest"):
@@ -516,10 +578,13 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool):
                     blk = blocks[bidx]
                     piv, upd = dm["rows_piv"][bidx], dm["rows_upd"][bidx]
                     z = y[piv]
-                    z = jnp.take_along_axis(z, blk["perm"][:, :, None], axis=1)
+                    if not chol:
+                        z = jnp.take_along_axis(
+                            z, blk["perm"][:, :, None], axis=1
+                        )
                     z = jax.vmap(
                         lambda l, r: jax.scipy.linalg.solve_triangular(
-                            l, r, lower=True, unit_diagonal=True
+                            l, r, lower=True, unit_diagonal=not chol
                         )
                     )(blk["lu"], z)
                     y = y.at[piv].set(z, mode="drop")
@@ -538,6 +603,8 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool):
                     )
                     x = jax.vmap(
                         lambda u, r: jax.scipy.linalg.solve_triangular(
+                            u, r, trans="C", lower=True
+                        ) if chol else jax.scipy.linalg.solve_triangular(
                             u, r, lower=False
                         )
                     )(blk["lu"], rhs)
@@ -551,6 +618,8 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool):
                     piv, upd = dm["rows_piv"][bidx], dm["rows_upd"][bidx]
                     w = jax.vmap(
                         lambda u, r: jax.scipy.linalg.solve_triangular(
+                            u, r, lower=True
+                        ) if chol else jax.scipy.linalg.solve_triangular(
                             u, r, trans="C", lower=False
                         )
                     )(blk["lu"], y[piv])
@@ -573,12 +642,16 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool):
                     )
                     v = jax.vmap(
                         lambda l, r: jax.scipy.linalg.solve_triangular(
-                            l, r, trans="C", lower=True, unit_diagonal=True
+                            l, r, trans="C", lower=True,
+                            unit_diagonal=not chol
                         )
                     )(blk["lu"], rhs)
-                    x = jnp.zeros_like(v).at[
-                        jnp.arange(v.shape[0])[:, None], blk["perm"]
-                    ].set(v)
+                    if chol:
+                        x = v
+                    else:
+                        x = jnp.zeros_like(v).at[
+                            jnp.arange(v.shape[0])[:, None], blk["perm"]
+                        ].set(v)
                     y = y.at[piv].set(x, mode="drop")
 
         return y[:n][dm["iperm"]]
@@ -586,7 +659,8 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool):
     return jax.jit(run)
 
 
-def factor_batched(data_stack, symbolic: MFSymbolic) -> MFFactors:
+def factor_batched(data_stack, symbolic: MFSymbolic,
+                   kind: str = "lu") -> MFFactors:
     """Batched numeric factorization: ``data_stack`` of shape (ne, nnz) holds
     ne value-sets over the SAME pattern (e.g. FEAST's shifted matrices
     z_k B - A, reference Feast.hs:214-218 done one-at-a-time there).  The
@@ -601,13 +675,13 @@ def factor_batched(data_stack, symbolic: MFSymbolic) -> MFFactors:
     fns = getattr(symbolic, "_factor_fns", None)
     if fns is None:
         fns = symbolic._factor_fns = {}
-    fkey = ("batched", str(data_stack.dtype))
+    fkey = ("batched", str(data_stack.dtype), kind)
     if fkey not in fns:
-        base = _build_factor_fn(symbolic)
+        base = _build_factor_fn(symbolic, kind)
         fns[fkey] = jax.jit(jax.vmap(lambda d, m: base.__wrapped__(d, m),
                                      in_axes=(0, None)))
     blocks = fns[fkey](data_stack, dm)
-    out = MFFactors(symbolic, blocks, data_stack.dtype)
+    out = MFFactors(symbolic, blocks, data_stack.dtype, kind=kind)
     out.batch = int(data_stack.shape[0])
     return out
 
@@ -624,9 +698,10 @@ def solve_batched(factors: MFFactors, b_stack, trans: bool = False):
     fns = getattr(factors, "_solve_fns", None)
     if fns is None:
         fns = factors._solve_fns = {}
-    skey = ("batched", bool(trans), int(b_stack.shape[2]), str(b_stack.dtype))
+    skey = ("batched", bool(trans), int(b_stack.shape[2]),
+            str(b_stack.dtype), factors.kind)
     if skey not in fns:
-        base = _build_solve_fn(sym, trans)
+        base = _build_solve_fn(sym, trans, factors.kind)
         fns[skey] = jax.jit(
             jax.vmap(lambda blk, b, m: base.__wrapped__(blk, b, m),
                      in_axes=(0, 0, None))
@@ -649,8 +724,8 @@ def solve(factors: MFFactors, b, trans: bool = False):
     fns = getattr(factors, "_solve_fns", None)
     if fns is None:
         fns = factors._solve_fns = {}
-    skey = (bool(trans), int(b.shape[1]), str(b.dtype))
+    skey = (bool(trans), int(b.shape[1]), str(b.dtype), factors.kind)
     if skey not in fns:
-        fns[skey] = _build_solve_fn(sym, trans)
+        fns[skey] = _build_solve_fn(sym, trans, factors.kind)
     x = fns[skey](factors.blocks, b, dm)
     return x[:, 0] if squeeze else x

@@ -145,3 +145,35 @@ def test_amd_random_pattern_valid(rng):
     ip, ix = _symmetrized_pattern(b, np.arange(n, dtype=np.int32))
     p = om.amd(ip, ix, n)
     assert sorted(p.tolist()) == list(range(n))
+
+
+def test_cholesky_kind_matches_lu(rng):
+    """kind='cholesky' (SPD fast path) matches the LU factorization results
+    in solve, trans-solve, and batched modes."""
+    import jax.numpy as jnp
+
+    from sparse_linear_tpu.solve import multifrontal as mf
+
+    g = 16
+    a = poisson_2d(g, dtype=np.float64)
+    n = g * g
+    sym = mf.analyze(a, dims=(g, g))
+    b = rng.standard_normal((n, 2))
+    f_lu = mf.factor(a, sym, kind="lu")
+    f_ch = mf.factor(a, sym, kind="cholesky")
+    x_lu = np.asarray(mf.solve(f_lu, jnp.asarray(b)))
+    x_ch = np.asarray(mf.solve(f_ch, jnp.asarray(b)))
+    np.testing.assert_allclose(x_ch, x_lu, atol=1e-10)
+    xt = np.asarray(mf.solve(f_ch, jnp.asarray(b), trans=True))
+    r = np.linalg.norm(np.asarray(a.T @ xt) - b) / np.linalg.norm(b)
+    assert r < 1e-12
+    stack = jnp.asarray(
+        np.stack([np.asarray(a.data) * (1 + 0.25 * k) for k in range(2)])
+    )
+    fb = mf.factor_batched(stack, sym, kind="cholesky")
+    bs = jnp.asarray(rng.standard_normal((2, n, 1)))
+    xs = mf.solve_batched(fb, bs)
+    for k in range(2):
+        ak = a.map_values(lambda v, k=k: v * (1 + 0.25 * k))
+        rk = np.linalg.norm(np.asarray(ak @ xs[k]) - np.asarray(bs[k]))
+        assert rk < 1e-10
