@@ -30,7 +30,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sparse_linear_tpu.formats.structured import DIA
 
-__all__ = ["shard_dia_rows", "dia_spmv_sharded"]
+__all__ = [
+    "shard_dia_rows", "dia_spmv_sharded",
+    "ShardedELL", "ShardedBSR", "shard_ell_rows", "shard_bsr_rows",
+    "shard_rows", "spmv_sharded",
+]
 
 
 def shard_dia_rows(dia: DIA, mesh: Mesh, axis: str = "rows") -> DIA:
@@ -118,3 +122,242 @@ def dia_spmv_sharded(dia: DIA, x, mesh: Mesh, axis: str = "rows",
         out_specs=P(axis),
     )
     return f(dia.data, jnp.asarray(x))
+
+
+# ------------------------------------------------------------------ generic
+# Row-sharded unstructured SpMV (ELL / BSR shards of any CSR pattern).
+#
+# The DIA path above covers stencil operators; these cover arbitrary
+# patterns: the matrix rows are block-partitioned across the mesh axis, each
+# device holds its row-slab in a TPU fast format (ELL gather tiles or BSR
+# MXU blocks), and the x segments are exchanged with one tiled all_gather
+# over ICI.  This is the full P1 deliverable of SURVEY.md §2.4: the
+# reference's serial column loop (sparse-linear/src/Data/Matrix/Sparse.hs:
+# 447-451) re-designed as SPMD with explicit collectives.
+
+
+from sparse_linear_tpu.formats.base import pytree_dataclass
+
+
+@pytree_dataclass(meta_fields=("shape", "axis"))
+class ShardedELL:
+    """Row-partitioned ELL: device d owns rows [d*nr_local, (d+1)*nr_local).
+
+    ``cols``/``vals`` are (ndev, nr_local, K) with the leading axis sharded
+    over ``mesh[axis]``; padded rows (beyond the true nrows) hold
+    (col=0, val=0)."""
+
+    cols: jax.Array
+    vals: jax.Array
+    shape: tuple
+    axis: str
+
+
+@pytree_dataclass(meta_fields=("shape", "block_shape", "axis"))
+class ShardedBSR:
+    """Row-partitioned BSR: stacked per-device block slabs, zero-padded to
+    the max per-device block count so the pytree is rectangular.
+
+    ``brow`` is the precomputed (sorted) local block-row id of every block —
+    the host-side materialization of ``expand_indptr`` so the device kernel
+    is a pure segment-sum."""
+
+    brow: jax.Array     # (ndev, maxnb) int32, nondecreasing per device
+    indices: jax.Array  # (ndev, maxnb) int32 block-column ids
+    blocks: jax.Array   # (ndev, maxnb, bm, bn)
+    shape: tuple
+    block_shape: tuple
+    axis: str
+
+
+def _pad_rows_csr(mat, nr_pad):
+    """Return host CSR arrays (indptr, indices, data) padded to nr_pad rows."""
+    import numpy as np
+
+    indptr = np.asarray(mat.indptr)
+    if nr_pad > mat.shape[0]:
+        indptr = np.concatenate(
+            [indptr, np.full(nr_pad - mat.shape[0], indptr[-1], indptr.dtype)]
+        )
+    return indptr, np.asarray(mat.indices), np.asarray(mat.data)
+
+
+def shard_ell_rows(mat, mesh: Mesh, axis: str = "rows",
+                   width: int | None = None) -> ShardedELL:
+    """Host-side: partition a CSR matrix's rows over ``mesh[axis]`` as ELL."""
+    import numpy as np
+
+    from sparse_linear_tpu.ops.build import trim
+
+    csr = trim(mat.tocsr())
+    nr, nc = csr.shape
+    ndev = mesh.shape[axis]
+    nr_local = -(-nr // ndev)
+    nr_pad = nr_local * ndev
+    indptr, cix, vals = _pad_rows_csr(csr, nr_pad)
+    row_nnz = np.diff(indptr)
+    k = int(row_nnz.max()) if width is None else int(width)
+    k = max(k, 1)
+    if row_nnz.max() > k:
+        raise ValueError(
+            f"shard_ell_rows: max row nnz {int(row_nnz.max())} exceeds "
+            f"width {k}"
+        )
+    cols = np.zeros((nr_pad, k), dtype=np.int32)
+    vs = np.zeros((nr_pad, k), dtype=vals.dtype)
+    pos = np.arange(len(cix)) - np.repeat(indptr[:-1], row_nnz)
+    rows = np.repeat(np.arange(nr_pad), row_nnz)
+    cols[rows, pos] = cix
+    vs[rows, pos] = vals
+    sh = NamedSharding(mesh, P(axis, None, None))
+    return ShardedELL(
+        cols=jax.device_put(cols.reshape(ndev, nr_local, k), sh),
+        vals=jax.device_put(vs.reshape(ndev, nr_local, k), sh),
+        shape=(nr, nc),
+        axis=axis,
+    )
+
+
+def shard_bsr_rows(mat, mesh: Mesh, axis: str = "rows",
+                   block_shape=(8, 128)) -> ShardedBSR:
+    """Host-side: partition a CSR matrix's rows over ``mesh[axis]`` as BSR."""
+    import numpy as np
+
+    from sparse_linear_tpu.ops.build import trim
+
+    csr = trim(mat.tocsr())
+    nr, nc = csr.shape
+    bm, bn = block_shape
+    ndev = mesh.shape[axis]
+    # pad the block-row grid so every device owns the same slab height
+    nbr_local = -(-(-(-nr // bm)) // ndev)
+    nr_pad = nbr_local * ndev * bm
+    nc_pad = -(-nc // bn) * bn
+    indptr, cix, vals = _pad_rows_csr(csr, nr_pad)
+    rows = np.repeat(np.arange(nr_pad), np.diff(indptr))
+    br, bc = rows // bm, cix // bn
+    dev = br // nbr_local
+    nbc = nc_pad // bn
+    key = (dev.astype(np.int64) * (nr_pad // bm) + br) * nbc + bc
+    uniq, inv = np.unique(key, return_inverse=True)
+    blocks_flat = np.zeros((uniq.size, bm, bn), dtype=vals.dtype)
+    np.add.at(blocks_flat, (inv, rows % bm, cix % bn), vals)
+    u_dev = (uniq // nbc) // (nr_pad // bm)
+    u_brow_local = (uniq // nbc) % (nr_pad // bm) % nbr_local
+    u_bc = (uniq % nbc).astype(np.int32)
+    counts = np.bincount(u_dev, minlength=ndev)
+    maxnb = max(int(counts.max()), 1)
+    brow = np.full((ndev, maxnb), nbr_local - 1, dtype=np.int32)
+    indices = np.zeros((ndev, maxnb), dtype=np.int32)
+    blocks = np.zeros((ndev, maxnb, bm, bn), dtype=vals.dtype)
+    # uniq is sorted by (dev, brow, bcol): per-device runs are contiguous
+    # and brow stays nondecreasing after the split
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for d in range(ndev):
+        s, e = starts[d], starts[d + 1]
+        m = e - s
+        brow[d, :m] = u_brow_local[s:e]
+        # padding keeps brow nondecreasing: pad value is the max block row
+        if m:
+            brow[d, m:] = max(nbr_local - 1, int(u_brow_local[e - 1]))
+        indices[d, :m] = u_bc[s:e]
+        blocks[d, :m] = blocks_flat[s:e]
+    sh2 = NamedSharding(mesh, P(axis, None))
+    sh3 = NamedSharding(mesh, P(axis, None, None, None))
+    return ShardedBSR(
+        brow=jax.device_put(brow, sh2),
+        indices=jax.device_put(indices, sh2),
+        blocks=jax.device_put(blocks, sh3),
+        shape=(nr, nc),
+        block_shape=(bm, bn),
+        axis=axis,
+    )
+
+
+def shard_rows(mat, mesh: Mesh, axis: str = "rows", fmt: str = "auto",
+               **kw):
+    """Partition any CSR/COO/CSC matrix's rows over a mesh axis.
+
+    fmt: "dia" | "ell" | "bsr" | "auto" (pattern statistics pick the local
+    format, mirroring formats.select)."""
+    csr = mat.tocsr()
+    if fmt == "auto":
+        from sparse_linear_tpu.formats.select import recommend_format
+
+        fmt = recommend_format(csr)
+        if fmt not in ("dia", "ell", "bsr"):
+            fmt = "ell"
+    if fmt == "dia":
+        from sparse_linear_tpu.formats.structured import csr_to_dia
+
+        return shard_dia_rows(csr_to_dia(csr), mesh, axis)
+    if fmt == "ell":
+        return shard_ell_rows(csr, mesh, axis, **kw)
+    if fmt == "bsr":
+        return shard_bsr_rows(csr, mesh, axis, **kw)
+    raise ValueError(f"unknown fmt: {fmt}")
+
+
+def _gathered_x(x_local, axis, nc):
+    x_full = jax.lax.all_gather(x_local, axis, tiled=True)
+    return x_full
+
+
+def spmv_sharded(a, x, mesh: Mesh):
+    """y = A @ x for a row-sharded matrix; y comes back sharded over the
+    same axis.  x may be replicated or sharded; it is passed sharded and
+    all-gathered over ICI inside the shard_map."""
+    if isinstance(a, DIA):
+        return dia_spmv_sharded(a, x, mesh)
+    axis = a.axis
+    nr, nc = a.shape
+    ndev = mesh.shape[axis]
+    nc_pad = -(-nc // ndev) * ndev
+    x = jnp.asarray(x)
+    if x.shape[0] != nc:
+        raise ValueError(f"spmv_sharded: dimension mismatch {a.shape} @ {x.shape}")
+    xp = jnp.pad(x, (0, nc_pad - nc)).reshape(ndev, nc_pad // ndev)
+
+    if isinstance(a, ShardedELL):
+
+        def kernel(cols, vals, x_local):
+            x_full = _gathered_x(x_local[0], axis, nc)
+            y = (vals[0] * x_full[cols[0]]).sum(axis=1)
+            return y[None]
+
+        f = jax.shard_map(
+            kernel, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+        )
+        y = f(a.cols, a.vals, xp).reshape(-1)[:nr]
+        return y
+
+    if isinstance(a, ShardedBSR):
+        bm, bn = a.block_shape
+        nbr_local = -(-(-(-nr // bm)) // ndev)
+
+        def kernel(brow, indices, blocks, x_local):
+            x_full = _gathered_x(x_local[0], axis, nc)
+            nc_blk = -(-nc // bn) * bn
+            xb = jnp.pad(x_full[:nc], (0, nc_blk - nc)).reshape(-1, bn)
+            xg = xb[indices[0]]
+            contrib = jnp.einsum(
+                "kij,kj->ki", blocks[0], xg.astype(blocks.dtype),
+                preferred_element_type=jnp.result_type(blocks, x_local),
+            )
+            y = jax.ops.segment_sum(
+                contrib, brow[0], num_segments=nbr_local,
+                indices_are_sorted=True,
+            )
+            return y.reshape(1, -1)
+
+        f = jax.shard_map(
+            kernel, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis),
+        )
+        y = f(a.brow, a.indices, a.blocks, xp).reshape(-1)[:nr]
+        return y
+
+    raise TypeError(f"spmv_sharded: unsupported type {type(a)}")

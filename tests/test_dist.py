@@ -103,3 +103,46 @@ def test_multichip_multifrontal_factor_solve(mesh):
     np.testing.assert_allclose(x_sh, x_si, atol=1e-11)
     r = np.linalg.norm(np.asarray(a @ x_sh) - np.asarray(b))
     assert r / np.linalg.norm(np.asarray(b)) < 1e-12
+
+
+@pytest.mark.parametrize("fmt", ["ell", "bsr"])
+def test_sharded_unstructured_spmv(mesh, fmt, dtype):
+    """Row-sharded ELL/BSR SpMV on an arbitrary (non-stencil) pattern must
+    match the dense product — P1 for unstructured matrices."""
+    import sparse_linear_tpu as sl
+    from sparse_linear_tpu.dist.spmv import shard_rows, spmv_sharded
+
+    rng = np.random.default_rng(7)
+    nr, nc = 100, 84  # deliberately not divisible by 8 / block shapes
+    n = nr * nc // 6
+    rows = rng.integers(0, nr, size=n)
+    cols = rng.integers(0, nc, size=n)
+    vals = rng.standard_normal(n)
+    if np.issubdtype(dtype, np.complexfloating):
+        vals = vals + 1j * rng.standard_normal(n)
+    a = sl.from_triples((nr, nc), rows, cols, vals.astype(dtype)).tocsr()
+    x = rng.standard_normal(nc)
+    if np.issubdtype(dtype, np.complexfloating):
+        x = x + 1j * rng.standard_normal(nc)
+    kw = {"block_shape": (4, 8)} if fmt == "bsr" else {}
+    ash = shard_rows(a, mesh, fmt=fmt, **kw)
+    y = spmv_sharded(ash, jnp.asarray(x), mesh)
+    ref = np.asarray(a.todense()) @ x
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-11)
+
+
+def test_shard_rows_auto_picks_dia_for_stencil(mesh):
+    """fmt='auto' routes a stencil pattern onto the DIA fast path."""
+    from sparse_linear_tpu.dist.spmv import shard_rows, spmv_sharded
+    from sparse_linear_tpu.formats.structured import DIA
+
+    a = poisson_2d(16, dtype=np.float64)
+    ash = shard_rows(a, mesh, fmt="auto")
+    x = np.random.default_rng(2).standard_normal(256)
+    if isinstance(ash, DIA):
+        y = spmv_sharded(ash, jnp.asarray(x), mesh)
+    else:
+        y = spmv_sharded(ash, jnp.asarray(x), mesh)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(a.todense()) @ x, atol=1e-12
+    )
