@@ -286,6 +286,7 @@ def shard_rows(mat, mesh: Mesh, axis: str = "rows", fmt: str = "auto",
 
         fmt = recommend_format(csr)
         if fmt not in ("dia", "ell", "bsr"):
+            # WELL shards locally as ELL until the sharded WELL kernel lands
             fmt = "ell"
     if fmt == "dia":
         from sparse_linear_tpu.formats.structured import csr_to_dia

@@ -6,9 +6,11 @@ structured formats are the fast path; this module picks one from pattern
 statistics:
 
   * DIA  — when the pattern is a small set of diagonals (stencils).
-  * ELL  — when row lengths are nearly uniform (max/mean <= ell_slack).
-  * BSR  — otherwise, with (8, 128)-aligned blocks when density inside
-    blocks is acceptable; falls back to ELL.
+  * WELL — any other pattern: the windowed gathered-ELL Pallas kernel
+    (formats/well.py) is the only fast unstructured SpMV on TPU (XLA's
+    gather runs ~1 GB/s; WELL streams at HBM bandwidth).  Complex matrices
+    are stored as two real planes sharing one packing.
+  * ELL / BSR — available on request (fmt= overrides).
 
 ``to_fast_format(mat)`` returns an equivalent structured matrix whose ``@``
 runs the corresponding kernel.
@@ -24,6 +26,7 @@ from sparse_linear_tpu.formats.structured import (
     csr_to_dia,
     csr_to_ell,
 )
+from sparse_linear_tpu.formats.well import csr_to_well
 from sparse_linear_tpu.ops.build import trim
 
 __all__ = ["to_fast_format", "recommend_format"]
@@ -41,13 +44,7 @@ def recommend_format(mat: CSR, max_diags: int = 32,
     ndiags = np.unique(cols - rows).size
     if ndiags <= max_diags:
         return "dia"
-    row_nnz = np.diff(np.asarray(mat.indptr))
-    mean = max(float(row_nnz.mean()), 1.0)
-    if float(row_nnz.max()) <= ell_slack * mean:
-        return "ell"
-    if nr % 8 == 0 and nc % 128 == 0:
-        return "bsr"
-    return "ell"
+    return "well"
 
 
 def to_fast_format(mat: CSR, **opts):
@@ -56,6 +53,8 @@ def to_fast_format(mat: CSR, **opts):
     mat = mat.tocsr()
     if kind == "dia":
         return csr_to_dia(mat, max_diags=2 ** 31)
+    if kind == "well":
+        return csr_to_well(mat)
     if kind == "ell":
         return csr_to_ell(mat)
     return csr_to_bsr(mat, block_shape=(8, 128))

@@ -1,0 +1,126 @@
+"""Pallas TPU SpMV kernel for the WELL format (unstructured patterns).
+
+One grid step produces ``VB`` output vregs (VB x 1024 rows).  The full x
+vector sits in VMEM (constant index map — fetched once, reused by every
+step); per chunk the kernel dynamically slices the chunk's (8, 128)
+x-window out of it and resolves the 2D in-register gather as two
+``tpu.dynamic_gather`` ops (see formats/well.py for the packing
+invariants):
+
+    W = x2[base : base+8, :]            # one x vreg
+    P[i, j] = W[idx[i, j] >> 7, j]      # sublane gather (r' plane)
+    G[i, j] = P[i, idx[i, j] & 127]     # lane gather
+    acc    += vals * G
+
+The chunk loop is fully unrolled (c_max and VB are compile-time constants)
+so there is no scalar-loop overhead between vector ops; the op streams
+8 B/slot (f32 val + packed int32 index plane) and is HBM-bound.
+
+This replaces the reference's scattered column loop
+(reference: sparse-linear/src/Data/Matrix/Sparse.hs:447-451) for patterns
+with no DIA/BSR structure; XLA's own gather executes the same op ~800x off
+the HBM roofline (measured ~1 GB/s on v5e).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["well_spmv"]
+
+_LANES = 128
+_VREG_ROWS = 1024
+
+
+def _kernel(bases_ref, x_ref, idx_ref, vals_ref, o_ref, *, c_max: int,
+            vb: int):
+    step = pl.program_id(0)
+    out_dtype = o_ref.dtype
+    for b in range(vb):
+        acc = jnp.zeros((8, _LANES), out_dtype)
+        for c in range(c_max):
+            base = bases_ref[(step * vb + b) * c_max + c]
+            w = x_ref[pl.ds(base, 8), :]
+            packed = idx_ref[b, c]
+            p = jnp.take_along_axis(w, packed >> 7, axis=0)
+            g = jnp.take_along_axis(p, packed & 127, axis=1)
+            acc = acc + vals_ref[b, c] * g
+        o_ref[pl.ds(b * 8, 8), :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "vb"))
+def _well_spmv_real(a, x, interpret=False, vb=16):
+    nr, nc = a.shape
+    nv, cm = a.bases.shape
+    while nv % vb:
+        vb //= 2
+    vb = max(vb, 1)
+    nc_pad = max(-(-nc // _VREG_ROWS) * _VREG_ROWS, _VREG_ROWS)
+    # windows may start in the last (partial) vreg of x: pad one extra vreg
+    # so every base+8 slice is in bounds
+    x2 = jnp.pad(x.astype(a.vals.dtype), (0, nc_pad + _VREG_ROWS - nc))
+    x2 = x2.reshape(-1, _LANES)
+
+    grid = (nv // vb,)
+    f = pl.pallas_call(
+        functools.partial(_kernel, c_max=cm, vb=vb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(x2.shape, lambda v, s: (0, 0)),  # x resident
+                pl.BlockSpec((vb, cm, 8, _LANES), lambda v, s: (v, 0, 0, 0)),
+                pl.BlockSpec((vb, cm, 8, _LANES), lambda v, s: (v, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((vb * 8, _LANES), lambda v, s: (v, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nv * 8, _LANES), a.vals.dtype),
+        interpret=interpret,
+    )
+    y2 = f(a.bases.reshape(-1), x2, a.idx, a.vals)
+    return y2.reshape(-1)[:nr]
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def well_spmv(a, x, interpret: bool | None = None, vb: int = 16):
+    """y = A @ x for WELL storage.  ``interpret`` defaults to True off-TPU
+    (CPU test meshes run the kernel through the Pallas interpreter)."""
+    x = jnp.asarray(x)
+    if x.shape[0] != a.shape[1]:
+        raise ValueError(
+            f"well_spmv: dimension mismatch {a.shape} @ {x.shape}"
+        )
+    if interpret is None:
+        interpret = _interpret_default()
+    a_im = getattr(a, "vals_im", None)
+    if a_im is None and not jnp.iscomplexobj(x):
+        return _well_spmv_real(a, x, interpret=interpret, vb=vb)
+    # complex via real planes: (Ar + iAi)(xr + ixi); TPU gathers have no
+    # complex dtype, so each product is one real kernel pass
+    import dataclasses
+
+    ar = a if a_im is None else dataclasses.replace(a, vals_im=None)
+    xr = jnp.real(x).astype(a.vals.dtype)
+    xi = (jnp.imag(x).astype(a.vals.dtype)
+          if jnp.iscomplexobj(x) else None)
+    run = functools.partial(_well_spmv_real, interpret=interpret, vb=vb)
+    y_re = run(ar, xr)
+    y_im = jnp.zeros_like(y_re)
+    if xi is not None:
+        y_im = y_im + run(ar, xi)
+    if a_im is not None:
+        ai = dataclasses.replace(a, vals=a.vals_im, vals_im=None)
+        y_im = y_im + run(ai, xr)
+        if xi is not None:
+            y_re = y_re - run(ai, xi)
+    cdtype = jnp.complex128 if a.vals.dtype == jnp.float64 else jnp.complex64
+    return (y_re + 1j * y_im).astype(cdtype)

@@ -28,12 +28,14 @@ _tried = False
 
 
 _ORD_SRC_PATH = os.path.join(_NATIVE_DIR, "ordering.cpp")
+_WELL_SRC_PATH = os.path.join(_NATIVE_DIR, "wellpack.cpp")
 
 
 def _build():
     srcs = [_SRC_PATH]
-    if os.path.exists(_ORD_SRC_PATH):
-        srcs.append(_ORD_SRC_PATH)
+    for p in (_ORD_SRC_PATH, _WELL_SRC_PATH):
+        if os.path.exists(p):
+            srcs.append(p)
     subprocess.run(
         ["g++", "-O2", "-shared", "-fPIC", *srcs, "-o", _SO_PATH],
         check=True,
@@ -49,7 +51,7 @@ def load():
             return _lib
         _tried = True
         try:
-            srcs = [p for p in (_SRC_PATH, _ORD_SRC_PATH)
+            srcs = [p for p in (_SRC_PATH, _ORD_SRC_PATH, _WELL_SRC_PATH)
                     if os.path.exists(p)]
             if not os.path.exists(_SO_PATH) or any(
                 os.path.getmtime(p) > os.path.getmtime(_SO_PATH)
@@ -74,6 +76,21 @@ def load():
         if hasattr(lib, "slt_amd"):
             lib.slt_amd.restype = ctypes.c_int
             lib.slt_amd.argtypes = [ctypes.c_int, i64p, i32p, i32p]
+        if hasattr(lib, "slt_wellpack"):
+            f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            lib.slt_wellpack.restype = ctypes.c_void_p
+            lib.slt_wellpack.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                i64p, i32p, f64p, ctypes.c_void_p, ctypes.c_int32,
+            ]
+            lib.slt_wellpack_sizes.restype = None
+            lib.slt_wellpack_sizes.argtypes = [ctypes.c_void_p, i64p]
+            lib.slt_wellpack_fill.restype = None
+            lib.slt_wellpack_fill.argtypes = [
+                ctypes.c_void_p, i32p, i32p, f64p, ctypes.c_void_p,
+            ]
+            lib.slt_wellpack_free.restype = None
+            lib.slt_wellpack_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -126,3 +143,52 @@ def native_symbolic(n, indptr, indices, relax_small=16, relax_frac=0.25):
         }
     finally:
         lib.slt_free(h)
+
+
+def native_wellpack(nr, nc, indptr, indices, vals, vals_im=None, cap=0):
+    """Pack CSR arrays into WELL chunk planes with the native engine.
+
+    Returns dict(bases, idx, vals[, vals_im]) or None when the native
+    library is unavailable; raises ValueError when ``cap`` is exceeded."""
+    lib = load()
+    if lib is None or not hasattr(lib, "slt_wellpack"):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    vals64 = np.ascontiguousarray(vals, dtype=np.float64)
+    nnz = int(indices.size)
+    im_arg = None
+    if vals_im is not None:
+        im_arg = np.ascontiguousarray(vals_im, dtype=np.float64)
+    h = lib.slt_wellpack(
+        int(nr), int(nc), nnz, indptr, indices, vals64,
+        im_arg.ctypes.data if im_arg is not None else None,
+        int(cap),
+    )
+    if not h:
+        raise ValueError(
+            f"wellpack: pattern needs more than c_max={cap} chunks/vreg"
+        )
+    try:
+        sizes = np.zeros(2, dtype=np.int64)
+        lib.slt_wellpack_sizes(h, sizes)
+        nv, cm = int(sizes[0]), int(sizes[1])
+        bases = np.zeros(nv * cm, dtype=np.int32)
+        idx = np.zeros(nv * cm * 1024, dtype=np.int32)
+        out_vals = np.zeros(nv * cm * 1024, dtype=np.float64)
+        out_im = (np.zeros(nv * cm * 1024, dtype=np.float64)
+                  if vals_im is not None else None)
+        lib.slt_wellpack_fill(
+            h, bases, idx, out_vals,
+            out_im.ctypes.data if out_im is not None else None,
+        )
+        out = {
+            "bases": bases.reshape(nv, cm),
+            "idx": idx.reshape(nv, cm, 8, 128),
+            "vals": out_vals.reshape(nv, cm, 8, 128),
+        }
+        if out_im is not None:
+            out["vals_im"] = out_im.reshape(nv, cm, 8, 128)
+        return out
+    finally:
+        lib.slt_wellpack_free(h)

@@ -190,11 +190,14 @@ def test_format_selection(rng):
     x = rng.standard_normal(64)
     np.testing.assert_allclose(np.asarray(fast @ x),
                                np.asarray(a.todense()) @ x, atol=1e-12)
-    # scattered random pattern with uniform-ish rows -> ELL
+    # scattered real pattern -> WELL (the TPU unstructured fast path);
+    # complex data falls back to ELL/BSR (WELL stores real planes)
     m = (rng.random((24, 24)) < 0.2) | np.eye(24, dtype=bool)
     b = sl.from_dense(m.astype(np.float64))
     kind = recommend_format(b, max_diags=8)
-    assert kind in ("ell", "bsr")
+    assert kind == "well"
+    bc = sl.from_dense(m.astype(np.complex128))
+    assert recommend_format(bc, max_diags=8) == "well"
     fastb = to_fast_format(b, max_diags=8)
     xb = rng.standard_normal(24)
     np.testing.assert_allclose(np.asarray(fastb @ xb),
