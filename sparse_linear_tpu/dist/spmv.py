@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -33,7 +35,7 @@ from sparse_linear_tpu.formats.structured import DIA
 __all__ = [
     "shard_dia_rows", "dia_spmv_sharded",
     "ShardedELL", "ShardedBSR", "shard_ell_rows", "shard_bsr_rows",
-    "shard_rows", "spmv_sharded",
+    "shard_rows", "spmv_sharded", "ShardedWELL", "shard_well_rows",
 ]
 
 
@@ -285,13 +287,16 @@ def shard_rows(mat, mesh: Mesh, axis: str = "rows", fmt: str = "auto",
         from sparse_linear_tpu.formats.select import recommend_format
 
         fmt = recommend_format(csr)
-        if fmt not in ("dia", "ell", "bsr"):
-            # WELL shards locally as ELL until the sharded WELL kernel lands
+        if fmt == "well" and np.iscomplexobj(np.asarray(csr.data)):
+            fmt = "ell"  # complex sharded WELL pending
+        if fmt not in ("dia", "ell", "bsr", "well"):
             fmt = "ell"
     if fmt == "dia":
         from sparse_linear_tpu.formats.structured import csr_to_dia
 
         return shard_dia_rows(csr_to_dia(csr), mesh, axis)
+    if fmt == "well":
+        return shard_well_rows(csr, mesh, axis, **kw)
     if fmt == "ell":
         return shard_ell_rows(csr, mesh, axis, **kw)
     if fmt == "bsr":
@@ -318,6 +323,12 @@ def spmv_sharded(a, x, mesh: Mesh):
     if x.shape[0] != nc:
         raise ValueError(f"spmv_sharded: dimension mismatch {a.shape} @ {x.shape}")
     xp = jnp.pad(x, (0, nc_pad - nc)).reshape(ndev, nc_pad // ndev)
+
+    if isinstance(a, ShardedWELL):
+        import jax as _jax
+
+        interpret = _jax.default_backend() != "tpu"
+        return _sharded_well_spmv(a, xp, mesh, nc, nr, interpret)
 
     if isinstance(a, ShardedELL):
 
@@ -362,3 +373,109 @@ def spmv_sharded(a, x, mesh: Mesh):
         return y
 
     raise TypeError(f"spmv_sharded: unsupported type {type(a)}")
+
+
+@pytree_dataclass(meta_fields=("shape", "c_max", "axis"))
+class ShardedWELL:
+    """Row-partitioned WELL: each device owns a WELL packing of its row slab
+    (full column space), padded to the max per-device chunk count so the
+    stacked pytree is rectangular.  The local kernel is the Pallas
+    in-register-gather SpMV (kernels/spmv_well.py); x is all-gathered over
+    ICI."""
+
+    bases: jax.Array  # (ndev, nv_local, c_max) int32
+    idx: jax.Array    # (ndev, nv_local, c_max, 8, 128) int32
+    vals: jax.Array   # (ndev, nv_local, c_max, 8, 128)
+    shape: tuple
+    c_max: int
+    axis: str
+
+
+def shard_well_rows(mat, mesh: Mesh, axis: str = "rows") -> ShardedWELL:
+    """Host-side: partition a CSR matrix's rows over ``mesh[axis]``, packing
+    each slab as WELL.  Slab heights are multiples of 1024 rows (the WELL
+    vreg granularity)."""
+    import numpy as np
+
+    from sparse_linear_tpu.formats.matrix import CSR
+    from sparse_linear_tpu.formats.well import csr_to_well
+    from sparse_linear_tpu.ops.build import trim
+
+    csr = trim(mat.tocsr())
+    nr, nc = csr.shape
+    ndev = mesh.shape[axis]
+    nv_local = max(-(-(-(-nr // 1024)) // ndev), 1)
+    rows_local = nv_local * 1024
+    indptr = np.asarray(csr.indptr)
+    indices = np.asarray(csr.indices)
+    data = np.asarray(csr.data)
+    packs = []
+    for d in range(ndev):
+        r0 = min(d * rows_local, nr)
+        r1 = min(r0 + rows_local, nr)
+        lp = indptr[r0:r1 + 1]
+        if lp.size < rows_local + 1:  # last slab: pad empty rows
+            lp = np.concatenate(
+                [lp, np.full(rows_local + 1 - lp.size, lp[-1], lp.dtype)]
+            )
+        local = CSR(
+            indptr=(lp - lp[0]).astype(indptr.dtype),
+            indices=indices[lp[0]:lp[-1]],
+            data=data[lp[0]:lp[-1]],
+            shape=(rows_local, nc),
+        )
+        packs.append(csr_to_well(local))
+    cm = max(p.c_max for p in packs)
+    is_c = packs[0].is_complex
+
+    def pad(p, arr_name):
+        a = np.asarray(getattr(p, arr_name))
+        if a.shape[1] < cm:
+            padw = [(0, 0)] * a.ndim
+            padw[1] = (0, cm - a.shape[1])
+            a = np.pad(a, padw)
+        return a
+
+    bases = np.stack([pad(p, "bases") for p in packs])
+    idx = np.stack([pad(p, "idx") for p in packs])
+    vals = np.stack([pad(p, "vals") for p in packs])
+    if is_c:
+        raise NotImplementedError(
+            "shard_well_rows: complex sharded WELL pending; use fmt='ell'"
+        )
+    sh3 = NamedSharding(mesh, P(axis, None, None))
+    sh5 = NamedSharding(mesh, P(axis, None, None, None, None))
+    return ShardedWELL(
+        bases=jax.device_put(bases, sh3),
+        idx=jax.device_put(idx, sh5),
+        vals=jax.device_put(vals, sh5),
+        shape=(nr, nc),
+        c_max=cm,
+        axis=axis,
+    )
+
+
+def _sharded_well_spmv(a: ShardedWELL, xp, mesh, nc, nr, interpret):
+    from sparse_linear_tpu.formats.well import WELL
+    from sparse_linear_tpu.kernels.spmv_well import well_spmv
+
+    axis = a.axis
+    nv_local = int(a.bases.shape[1])
+
+    def kernel(bases, idx, vals, x_local):
+        x_full = jax.lax.all_gather(x_local[0], axis, tiled=True)
+        local = WELL(
+            bases=bases[0], idx=idx[0], vals=vals[0], vals_im=None,
+            shape=(nv_local * 1024, nc), c_max=a.c_max, fill=1.0,
+        )
+        y = well_spmv(local, x_full[:nc], interpret=interpret)
+        return y[None]
+
+    # check_vma=False: pallas_call does not yet annotate varying-mesh-axes
+    f = jax.shard_map(
+        kernel, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return f(a.bases, a.idx, a.vals, xp).reshape(-1)[:nr]

@@ -146,3 +146,28 @@ def test_shard_rows_auto_picks_dia_for_stencil(mesh):
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(a.todense()) @ x, atol=1e-12
     )
+
+
+def test_sharded_well_spmv(mesh):
+    """Row-sharded WELL (in-register-gather kernel under shard_map) matches
+    the dense product; auto routing picks it for real unstructured patterns."""
+    import sparse_linear_tpu as sl
+    from sparse_linear_tpu.dist.spmv import ShardedWELL, shard_rows, spmv_sharded
+
+    rng = np.random.default_rng(11)
+    nr, nc = 5000, 4200
+    n = 60000
+    rows = rng.integers(0, nr, size=n)
+    cols = rng.integers(0, nc, size=n)
+    a = sl.from_triples((nr, nc), rows, cols, rng.standard_normal(n)).tocsr()
+    ash = shard_rows(a, mesh, fmt="well")
+    assert isinstance(ash, ShardedWELL)
+    x = rng.standard_normal(nc)
+    y = spmv_sharded(ash, jnp.asarray(x), mesh)
+    import scipy.sparse as sp
+
+    As = sp.csr_matrix(
+        (np.asarray(a.data), np.asarray(a.indices), np.asarray(a.indptr)),
+        shape=a.shape,
+    )
+    np.testing.assert_allclose(np.asarray(y), As @ x, atol=1e-10)
