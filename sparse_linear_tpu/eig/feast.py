@@ -331,13 +331,21 @@ def _geigsh_embedded_complex(*, m0, n, ne, emin, emax, params, guess, cdtype,
 
 
 def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
-           guess=None, mesh=None, contour_axis: str = "cp") -> EigResult:
+           guess=None, mesh=None, contour_axis: str = "cp",
+           rows_axis: str = "rows") -> EigResult:
     """Generalized Hermitian interval eigenproblem A x = lambda B x,
     eigenvalues in ``interval`` = (emin, emax), subspace dimension m0.
 
     Reference: ``geigSH``/``geigSH_`` (Feast.hs:62-70,102-113,115-240),
     including the subspace warm start through ``guess`` (Feast.hs:119,157-168,
     fpm[4]=1).
+
+    Distribution (P3/P4, SURVEY.md §2.4): with ``mesh`` given, the contour
+    node axis is sharded over ``mesh[contour_axis]`` (each device group owns
+    quadrature nodes; XLA inserts the psum for the accumulated subspace),
+    and when the mesh also names ``rows_axis`` the n-row subspace arrays are
+    row-sharded over it (SpMMs and Gram products distribute; XLA inserts
+    the reduction collectives over ICI).
     """
     emin, emax = float(interval[0]), float(interval[1])
     if emax <= emin:
@@ -483,6 +491,16 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
             refine_cols=refine_cols, sigma=sigma,
         )
 
+    def shard_rows_arr(arr):
+        """Row-shard an (n, m) subspace array over mesh[rows_axis] (P4)."""
+        if mesh is not None and rows_axis in getattr(mesh, "axis_names", ()):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.lax.with_sharding_constraint(
+                arr, NamedSharding(mesh, P(rows_axis, None))
+            )
+        return arr
+
     # ---- initial subspace (fpm[4]: warm start when guess given)
     if guess is not None:
         y = np.asarray(guess, dtype=cdtype if not real_input else in_dtype)
@@ -493,6 +511,7 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
         key = jax.random.key(params.seed)
         y = jax.random.normal(key, (n, m0), dtype=np.dtype(in_dtype)
                               if real_input else np.dtype(complex_of(in_dtype)))
+    y = shard_rows_arr(y)
 
     lam_scale = max(abs(emin), abs(emax), 1.0)
     info = INFO_NOT_CONVERGED
@@ -555,7 +574,9 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
         # keeps Bq well-conditioned so the Ritz residual floor reaches
         # machine precision (the Fortran FEAST works on the raw Q and floors
         # around 1e-12)
+        q = shard_rows_arr(q)
         q, _ = jnp.linalg.qr(q, mode="reduced")
+        q = shard_rows_arr(q)
 
         # ---- Rayleigh-Ritz (the m0 x m0 reduced problem, Feast.hs:153-154)
         aq_full = spmm(mat_a, q)  # ijob=30
