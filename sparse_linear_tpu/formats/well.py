@@ -116,6 +116,25 @@ class WELL:
         return well_spmv(self, jnp.asarray(x))
 
 
+
+
+def _pad_vregs(bases, idx, vals, vals_im, multiple=16):
+    """Pad the vreg axis so the kernel can always run its widest grid step
+    (vb=16); padding vregs are all-zero chunks."""
+    nv = bases.shape[0]
+    nv_pad = -(-nv // multiple) * multiple
+    if nv_pad == nv:
+        return bases, idx, vals, vals_im
+    pb = [(0, nv_pad - nv)] + [(0, 0)] * (bases.ndim - 1)
+    p4 = [(0, nv_pad - nv)] + [(0, 0)] * (idx.ndim - 1)
+    bases = np.pad(bases, pb)
+    idx = np.pad(idx, p4)
+    vals = np.pad(vals, p4)
+    if vals_im is not None:
+        vals_im = np.pad(vals_im, p4)
+    return bases, idx, vals, vals_im
+
+
 def csr_to_well(mat, c_max: int | None = None) -> WELL:
     """Host-side CSR -> WELL packing (vectorized; analyze-time artifact).
 
@@ -140,6 +159,7 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
     nnz = cols.size
 
     n_vregs = max(-(-nr // _VREG_ROWS), 1)
+    n_vregs = -(-n_vregs // 16) * 16
     if nnz == 0:
         cm = c_max or 1
         z = np.zeros((n_vregs, cm, 8, _LANES))
@@ -163,12 +183,17 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
     )
     if packed is not None:
         cm = int(packed["bases"].shape[1])
+        pb, pi, pv, pim = _pad_vregs(
+            packed["bases"], packed["idx"],
+            packed["vals"].astype(vals.dtype),
+            (packed["vals_im"].astype(vals.dtype)
+             if vals_im is not None else None),
+        )
         return WELL(
-            bases=jnp.asarray(packed["bases"]),
-            idx=jnp.asarray(packed["idx"]),
-            vals=jnp.asarray(packed["vals"].astype(vals.dtype)),
-            vals_im=(jnp.asarray(packed["vals_im"].astype(vals.dtype))
-                     if vals_im is not None else None),
+            bases=jnp.asarray(pb),
+            idx=jnp.asarray(pi),
+            vals=jnp.asarray(pv),
+            vals_im=None if pim is None else jnp.asarray(pim),
             shape=(nr, nc),
             c_max=cm,
             fill=float(nnz / max(packed["vals"].size, 1)),
@@ -291,6 +316,7 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
         out_im[vv, cc, i_sub, jj] = vals_im
 
     fill = nnz / max(out_vals.size, 1)
+    bases, idx, out_vals, out_im = _pad_vregs(bases, idx, out_vals, out_im)
     return WELL(
         bases=jnp.asarray(bases),
         idx=jnp.asarray(idx),

@@ -12,6 +12,8 @@ durability:
   the identical schedule deterministically — far smaller than serializing
   the schedule, and robust across library versions.
 * FEAST subspaces persist as plain arrays (the warm-start unit).
+* WELL packings persist as their chunk planes (the SpMV analyze artifact —
+  repacking 21M nonzeros costs seconds; loading is one mmap).
 
 All files are numpy ``.npz`` — no pickle, loadable anywhere.
 """
@@ -28,6 +30,8 @@ __all__ = [
     "load_factors",
     "save_subspace",
     "load_subspace",
+    "save_well",
+    "load_well",
 ]
 
 
@@ -112,3 +116,39 @@ def save_subspace(path, result):
 def load_subspace(path):
     with np.load(path, allow_pickle=False) as z:
         return z["subspace"]
+
+
+def save_well(path, well):
+    """Persist a WELL packing (formats/well.py) — the SpMV analyze artifact."""
+    payload = dict(
+        kind="well",
+        shape=np.asarray(well.shape, dtype=np.int64),
+        c_max=well.c_max,
+        fill=well.fill,
+        bases=np.asarray(well.bases),
+        idx=np.asarray(well.idx),
+        vals=np.asarray(well.vals),
+    )
+    if well.vals_im is not None:
+        payload["vals_im"] = np.asarray(well.vals_im)
+    np.savez_compressed(path, **payload)
+
+
+def load_well(path):
+    import jax.numpy as jnp
+
+    from sparse_linear_tpu.formats.well import WELL
+
+    with np.load(path, allow_pickle=False) as z:
+        if str(z["kind"]) != "well":
+            raise ValueError("not a WELL checkpoint")
+        return WELL(
+            bases=jnp.asarray(z["bases"]),
+            idx=jnp.asarray(z["idx"]),
+            vals=jnp.asarray(z["vals"]),
+            vals_im=(jnp.asarray(z["vals_im"]) if "vals_im" in z.files
+                     else None),
+            shape=tuple(int(v) for v in z["shape"]),
+            c_max=int(z["c_max"]),
+            fill=float(z["fill"]),
+        )

@@ -132,3 +132,29 @@ def test_save_load_subspace(tmp_path):
     res2 = eigsh(6, (0.2, 1.2), a, FeastParams(tol=1e-12), guess=sub)
     assert res2.iterations <= res.iterations
     np.testing.assert_allclose(res2.values, res.values, rtol=1e-10)
+
+
+def test_well_checkpoint_roundtrip(tmp_path, rng):
+    """WELL packings persist and reload bit-identically (the SpMV analyze
+    artifact; reference had reuse but no persistence, SURVEY.md §5)."""
+    import sparse_linear_tpu as sl
+    from sparse_linear_tpu.formats.well import csr_to_well
+    from sparse_linear_tpu.kernels.spmv_well import well_spmv
+    from sparse_linear_tpu.utils.serialize import load_well, save_well
+
+    nr, nc = 700, 900
+    n = 4000
+    a = sl.from_triples(
+        (nr, nc), rng.integers(0, nr, n), rng.integers(0, nc, n),
+        rng.standard_normal(n),
+    ).tocsr()
+    w = csr_to_well(a)
+    p = tmp_path / "well.npz"
+    save_well(p, w)
+    w2 = load_well(p)
+    assert w2.shape == w.shape and w2.c_max == w.c_max
+    x = rng.standard_normal(nc)
+    np.testing.assert_array_equal(
+        np.asarray(well_spmv(w, jnp.asarray(x))),
+        np.asarray(well_spmv(w2, jnp.asarray(x))),
+    )

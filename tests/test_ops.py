@@ -312,3 +312,73 @@ def test_take_diag_rect(rng, dtype):
     np.testing.assert_allclose(
         np.asarray(sl.take_diag(a)), np.diag(dense(a)), atol=0
     )
+
+
+def test_spgemm_well_staged(rng):
+    """The WELL-staged SpGEMM numeric phase (three 0/1-WELL SpMVs + one
+    multiply) matches scipy exactly — pattern and values — and the plan is
+    reusable across value sets (the analyze staging applied to SpGEMM)."""
+    import scipy.sparse as sp
+
+    from sparse_linear_tpu.ops import spgemm as sg
+
+    nr, nk, nc = 220, 180, 260
+    n1, n2 = 2600, 2200
+    a = sl.from_triples(
+        (nr, nk), rng.integers(0, nr, n1), rng.integers(0, nk, n1),
+        rng.standard_normal(n1),
+    ).tocsr()
+    b = sl.from_triples(
+        (nk, nc), rng.integers(0, nk, n2), rng.integers(0, nc, n2),
+        rng.standard_normal(n2),
+    ).tocsr()
+    plan = sg.spgemm_plan_well(a, b)
+    c = sg.spgemm_apply_well(plan, a.data, b.data)
+    As = sp.csr_matrix(
+        (np.asarray(a.data), np.asarray(a.indices), np.asarray(a.indptr)),
+        shape=a.shape,
+    )
+    Bs = sp.csr_matrix(
+        (np.asarray(b.data), np.asarray(b.indices), np.asarray(b.indptr)),
+        shape=b.shape,
+    )
+    Cs = (As @ Bs).tocsr()
+    Cs.sort_indices()
+    np.testing.assert_array_equal(np.asarray(c.indptr), Cs.indptr)
+    np.testing.assert_array_equal(np.asarray(c.indices), Cs.indices)
+    np.testing.assert_allclose(np.asarray(c.data), Cs.data, atol=1e-12)
+    # plan reuse with new values (same patterns)
+    a2 = a.map_values(lambda v: v * 2.0 + 1.0)
+    c2 = sg.spgemm_apply_well(plan, a2.data, b.data)
+    As2 = sp.csr_matrix(
+        (np.asarray(a2.data), np.asarray(a2.indices), np.asarray(a2.indptr)),
+        shape=a.shape,
+    )
+    Cs2 = (As2 @ Bs).tocsr()
+    Cs2.sort_indices()
+    np.testing.assert_allclose(np.asarray(c2.data), Cs2.data, atol=1e-12)
+    # complex values ride the same real plan
+    acx = a.map_values(lambda v: v * (1 + 0.5j))
+    bcx = b.map_values(lambda v: v * (2 - 0.25j))
+    plan_c = sg.spgemm_plan_well(acx, bcx)
+    c3 = sg.spgemm_apply_well(plan_c, acx.data, bcx.data)
+    Acx = sp.csr_matrix(
+        (np.asarray(acx.data), np.asarray(acx.indices), np.asarray(acx.indptr)),
+        shape=a.shape,
+    )
+    Bcx = sp.csr_matrix(
+        (np.asarray(bcx.data), np.asarray(bcx.indices), np.asarray(bcx.indptr)),
+        shape=b.shape,
+    )
+    Cs3 = (Acx @ Bcx).tocsr()
+    Cs3.sort_indices()
+    np.testing.assert_allclose(np.asarray(c3.data), Cs3.data, atol=1e-12)
+
+
+def test_spgemm_well_mismatch():
+    from sparse_linear_tpu.ops import spgemm as sg
+
+    a = sl.eye(4, dtype=np.float64).tocsr()
+    b = sl.eye(5, dtype=np.float64).tocsr()
+    with pytest.raises(ValueError, match="mismatch"):
+        sg.spgemm_plan_well(a, b)
