@@ -188,23 +188,75 @@ def bench_lu_1m(grid=1024):
     }
 
 
+def bench_feast_50(grid=192):
+    """Config-4 gate: ~50 lowest eigenpairs of the 2D Poisson operator.
+
+    CPU baseline measured in-process: scipy ARPACK shift-invert on SuperLU
+    factors (the UMFPACK-class sparse-LU + eigensolver stack the reference
+    binds).  TPU: the native FEAST driver, warm (second call; the contour
+    factorizations recompile only on pattern change, mirroring the
+    reference's analyze-once staging).  Accuracy gate: eigenvalues match
+    the analytic spectrum to 1e-10 relative."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spl
+
+    jax.config.update("jax_enable_x64", True)
+    from sparse_linear_tpu.eig.feast import FeastParams, eigsh
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    g = grid
+    a = poisson_2d(g, dtype=np.float64)
+    i = np.arange(1, g + 1)
+    lam1d = 4 * np.sin(i * np.pi / (2 * (g + 1))) ** 2
+    lam2d = np.sort((lam1d[:, None] + lam1d[None, :]).ravel())
+    emax = float((lam2d[49] + lam2d[50]) / 2)
+
+    As = sp.csr_matrix(
+        (np.asarray(a.data), np.asarray(a.indices), np.asarray(a.indptr)),
+        shape=a.shape,
+    )
+    t0 = time.perf_counter()
+    cpu_vals, _ = spl.eigsh(As.tocsc(), k=50, sigma=emax / 2, which="LM")
+    t_cpu = time.perf_counter() - t0
+
+    p = FeastParams(tol=1e-10, dims=(g, g), backend="multifrontal")
+    res = eigsh(80, (0.0, emax), a, p)  # cold (compiles)
+    t0 = time.perf_counter()
+    res = eigsh(80, (0.0, emax), a, p)
+    t_tpu = time.perf_counter() - t0
+    ok = res.n_found == 50 and np.allclose(
+        np.sort(np.asarray(res.values)), lam2d[:50], rtol=1e-10
+    )
+    return {
+        "metric": f"feast_50pairs_2d_poisson_{g * g}_wall_s",
+        "value": round(t_tpu, 2),
+        "unit": "s",
+        "vs_baseline": round(t_cpu / t_tpu, 4) if ok else 0.0,
+        "cpu_arpack_splu_s": round(t_cpu, 2),
+        "accuracy_1e10": bool(ok),
+    }
+
+
 def main():
     spmv_r = bench_spmv_dia()
     well_r = bench_spmv_well()
     lu_r = bench_lu_1m()
+    feast_r = bench_feast_50()
     if "--all" in sys.argv:
         print(json.dumps(spmv_r), file=sys.stderr)
         print(json.dumps(well_r), file=sys.stderr)
         print(json.dumps(lu_r), file=sys.stderr)
+        print(json.dumps(feast_r), file=sys.stderr)
     score = float(
-        (spmv_r["vs_baseline"] * lu_r["vs_baseline"] * well_r["vs_baseline"])
-        ** (1.0 / 3.0)
+        (spmv_r["vs_baseline"] * lu_r["vs_baseline"]
+         * well_r["vs_baseline"] * max(feast_r["vs_baseline"], 1e-9))
+        ** (1.0 / 4.0)
     )
-    accuracy_ok = lu_r["refined_residual"] < 1e-9
+    accuracy_ok = lu_r["refined_residual"] < 1e-9 and feast_r["accuracy_1e10"]
     print(
         json.dumps(
             {
-                "metric": "composite_spmv_lu_wellspmv_vs_targets",
+                "metric": "composite_spmv_lu_wellspmv_feast_vs_targets",
                 "value": round(score, 4),
                 "unit": "x_vs_target_geomean",
                 "vs_baseline": round(score, 4) if accuracy_ok else 0.0,

@@ -460,16 +460,21 @@ def _sharded_well_spmv(a: ShardedWELL, xp, mesh, nc, nr, interpret):
     from sparse_linear_tpu.kernels.spmv_well import well_spmv
 
     axis = a.axis
-    nv_local = int(a.bases.shape[1])
+    ndev = mesh.shape[axis]
+    # packed vreg count may exceed the true slab height (the packer pads
+    # the vreg axis to the kernel's widest grid step): slice the local
+    # result back to the slab
+    nv_pack = int(a.bases.shape[1])
+    rows_local = max(-(-(-(-nr // 1024)) // ndev), 1) * 1024
 
     def kernel(bases, idx, vals, x_local):
         x_full = jax.lax.all_gather(x_local[0], axis, tiled=True)
         local = WELL(
             bases=bases[0], idx=idx[0], vals=vals[0], vals_im=None,
-            shape=(nv_local * 1024, nc), c_max=a.c_max, fill=1.0,
+            shape=(nv_pack * 1024, nc), c_max=a.c_max, fill=1.0,
         )
         y = well_spmv(local, x_full[:nc], interpret=interpret)
-        return y[None]
+        return y[:rows_local][None]
 
     # check_vma=False: pallas_call does not yet annotate varying-mesh-axes
     f = jax.shard_map(

@@ -38,6 +38,7 @@ import numpy as np
 
 from sparse_linear_tpu.dtypes import complex_of, is_complex
 from sparse_linear_tpu.ops.linalg import lin, spmm
+from sparse_linear_tpu.utils.precision import dot64
 from sparse_linear_tpu.solve import api as solve_api
 
 __all__ = ["FeastParams", "EigResult", "eigsh", "geigsh", "INFO_OK",
@@ -71,7 +72,11 @@ class FeastParams:
     dims: tuple | None = None   # grid dims for the multifrontal ND ordering
     complex_strategy: str = "auto"  # "native" | "embedded" | "auto"
     contour_batching: str = "auto"  # "vmap" | "loop" | "auto"
-    refine_solves: int = 0      # per-node mixed-precision refinement steps
+    refine_solves: int | None = None  # per-node mixed-precision refinement
+                                # steps; None = auto (2 when the shifted
+                                # factors are f32 — the TPU embedded path —
+                                # else 0).  Without them f32 solve noise
+                                # floors the subspace residual at ~1e-6.
     check_hermitian: bool = True
     seed: int = 0
 
@@ -91,9 +96,12 @@ class EigResult(NamedTuple):
 
 
 def _check_hermitian(mat, name):
-    """Reference precondition (Feast.hs:129-130): ctrans m == m."""
-    d = np.asarray(mat.todense())
-    if not np.allclose(d, d.conj().T, atol=1e-12 * max(1.0, np.abs(d).max())):
+    """Reference precondition (Feast.hs:129-130): ctrans m == m.
+
+    Sparse O(nnz) comparison — never densifies (a 65k-dof operator would
+    need a 16 GB dense temp)."""
+    scale = float(np.abs(np.asarray(mat.data)).max()) if mat.nnz else 1.0
+    if not mat.tocsr().is_hermitian(tol=1e-12 * max(1.0, scale)):
         raise ValueError(f"geigsh: matrix {name} is not hermitian")
 
 
@@ -162,6 +170,170 @@ def _refine_stack(factors, x64, b64, solve_dtype, data64, rows, cols, trans):
     return x64 + dx.astype(jnp.float64)
 
 
+def _refine_nodes(fast_a_mm, fast_b_mm, z_nodes, factors, x64, by64, sdt,
+                  trans):
+    """Mixed-precision refinement of the embedded contour solves with the
+    residual computed in the ORIGINAL complex space:
+
+        r_k = b - (z_k B - A) x_k     (conj(z_k) for the E^T solves)
+
+    through the fast A/B SpMM closures (DIA slices for banded operators) —
+    O(n m) memory per node, where the embedded-CSR scatter formulation
+    materializes an (ne, nnz_e, m) tensor and OOMs at 65k dof x 80 RHS.
+    Valid for the real-symmetric pencil path (E^T <-> conj(z) B - A).
+
+    x64: (ne, 2n, m) embedded f64 solutions; by64: (n, m) f64 = B y.
+    """
+    r_e = _refine_residual(fast_a_mm, fast_b_mm, z_nodes, x64, by64, trans)
+    dx = _solve_all(factors, r_e.astype(sdt), trans)
+    return x64 + dx.astype(jnp.float64)
+
+
+def _refine_residual(fast_a_mm, fast_b_mm, z_nodes, x64, by64, trans):
+    """Embedded residual r = b - E x of the contour solves, computed in the
+    original complex space through the fast SpMM closures (O(n m) memory)."""
+    xr = x64[:, 0::2, :]
+    xi = x64[:, 1::2, :]
+    zz = np.conj(z_nodes) if trans else np.asarray(z_nodes)
+    zr = jnp.asarray(np.real(zz))[:, None, None]
+    zi = jnp.asarray(np.imag(zz))[:, None, None]
+    axr = jax.vmap(fast_a_mm)(xr)
+    axi = jax.vmap(fast_a_mm)(xi)
+    bxr = jax.vmap(fast_b_mm)(xr)
+    bxi = jax.vmap(fast_b_mm)(xi)
+    er = zr * bxr - zi * bxi - axr      # Re((z B - A) x)
+    ei = zr * bxi + zi * bxr - axi      # Im((z B - A) x)
+    rr = by64[None] - er
+    ri = -ei
+    ne, n_, m_ = rr.shape
+    return jnp.stack([rr, ri], axis=2).reshape(ne, 2 * n_, m_)
+
+
+def _host_rr_state(mat_a, mat_b, b_is_ident):
+    """Host-side (scipy) operators for the Rayleigh-Ritz stage on
+    accelerators.  The m0-column Gram/whitening algebra is tiny, but on
+    this TPU stack every f64 matrix-matrix contraction accumulates with
+    f32-level error for some operand distributions (measured 2e-6 absolute
+    on a whitened Gram, independent of precision config and of the
+    double-float operand split) — which floors the Ritz residual at ~1e-7.
+    numpy/scipy on host is exact and costs one subspace pull + push per
+    loop."""
+    import scipy.sparse as sp
+
+    def to_sp(m):
+        c = m.tocsr()
+        return sp.csr_matrix(
+            (np.asarray(c.data), np.asarray(c.indices),
+             np.asarray(c.indptr)), shape=c.shape,
+        )
+
+    a_sp = to_sp(mat_a)
+    b_sp = None if b_is_ident else to_sp(mat_b)
+    return a_sp, b_sp
+
+
+def _host_whiten_rr(qn, a_sp, b_sp, m0, emin, emax, lam_scale):
+    """Whiten + Rayleigh-Ritz + residuals, all host numpy/scipy (exact).
+
+    Returns (lam, res, x, y_next, inside)."""
+    for _ in range(2):
+        g = qn.conj().T @ qn
+        w, v = np.linalg.eigh(0.5 * (g + g.conj().T))
+        floor = max(float(w.max()), 0.0) * np.finfo(np.float64).eps * len(w)
+        wi = 1.0 / np.sqrt(np.maximum(w, max(floor,
+                                             np.finfo(np.float64).tiny)))
+        qn = qn @ ((v * wi[None, :]) @ v.conj().T)
+    aq = qn.conj().T @ (a_sp @ qn)
+    bq = qn.conj().T @ (b_sp @ qn if b_sp is not None else qn)
+    lam, coeff = _reduced_geig(aq, bq)
+    x = qn @ coeff
+    ax = a_sp @ x
+    bx = b_sp @ x if b_sp is not None else x
+    rnorm = np.linalg.norm(ax - bx * lam[None, :], axis=0)
+    xnorm = np.maximum(np.linalg.norm(x, axis=0), np.finfo(float).tiny)
+    res = rnorm / (lam_scale * xnorm)
+    inside = (lam >= emin) & (lam <= emax)
+    m_kept = x.shape[1]
+    y_next = np.zeros((qn.shape[0], m0), dtype=x.dtype)
+    y_next[:, :m_kept] = x
+    if m_kept < m0:
+        rng_fill = np.random.default_rng(m_kept + 12345)
+        fill = rng_fill.standard_normal((qn.shape[0], m0 - m_kept))
+        if np.issubdtype(x.dtype, np.complexfloating):
+            fill = fill + 1j * rng_fill.standard_normal(fill.shape)
+        y_next[:, m_kept:] = fill.astype(x.dtype)
+    return lam, res, x, y_next, inside
+
+
+def _is_identity(mat) -> bool:
+    """Host check: mat == I exactly (the eigSH B:=ident case, Feast.hs:99-100;
+    skips every B product and B residual)."""
+    try:
+        csr = mat.tocsr()
+    except Exception:
+        return False
+    n = csr.shape[0]
+    if csr.shape[1] != n or csr.nnz != n:
+        return False
+    import numpy as _np
+
+    return (
+        _np.array_equal(_np.asarray(csr.indptr), _np.arange(n + 1))
+        and _np.array_equal(_np.asarray(csr.indices)[:n], _np.arange(n))
+        and bool((_np.asarray(csr.data)[:n] == 1).all())
+    )
+
+
+def _fast_spmm_op(mat):
+    """Device SpMM closure for the subspace iteration.
+
+    Banded real patterns ride DIA (shifted slices + fma — f64-safe on TPU,
+    where the CSR scatter path crawls); everything else falls back to the
+    generic spmm."""
+    import numpy as _np
+
+    try:
+        if not _np.iscomplexobj(_np.asarray(mat.data)):
+            from sparse_linear_tpu.formats.structured import csr_to_dia
+            from sparse_linear_tpu.kernels.spmv import dia_spmm
+
+            d = csr_to_dia(mat.tocsr(), max_diags=64)
+            return lambda X: dia_spmm(d, X)
+    except (ValueError, TypeError):
+        pass
+    return lambda X: spmm(mat, X)
+
+
+def _orthonormalize(q):
+    """Orthonormalize a tall-skinny subspace block (jit-safe, CPU path)."""
+    x, _ = jnp.linalg.qr(q, mode="reduced")
+    return x
+
+
+def _whiten_host(q_raw, gram_fn, mul_fn, passes=2):
+    """Two-pass Gram whitening: Q <- Q (X^H X)^{-1/2} with the tiny m0 x m0
+    symmetric inverse square root computed ON HOST (numpy eigh).
+
+    Why not QR/CholeskyQR on device: the FEAST-filtered subspace is
+    *numerically rank-deficient by design* (the contour filter kills the
+    m0 - m directions outside the interval), so a Gram Cholesky breaks
+    down (NaN), and Householder QR under TPU f64 emulation costs ~12 s per
+    loop at 65k x 80.  Eigh-based whitening floors the noise eigenvalues
+    instead — those directions come out badly conditioned, and the reduced
+    generalized eigenproblem drops them via its own B-mass cutoff.  The
+    device work is two Gram matmuls + two (n, m0) x (m0, m0) products on
+    the MXU; only 80x80 blocks cross the host boundary."""
+    for _ in range(passes):
+        g = np.asarray(gram_fn(q_raw))
+        g = 0.5 * (g + g.conj().T)
+        w, v = np.linalg.eigh(g)
+        floor = max(float(w.max()), 0.0) * np.finfo(np.float64).eps * len(w)
+        wi = 1.0 / np.sqrt(np.maximum(w, max(floor, np.finfo(np.float64).tiny)))
+        wmat = (v * wi[None, :]) @ v.conj().T
+        q_raw = mul_fn(q_raw, jnp.asarray(wmat.astype(np.asarray(g).dtype)))
+    return q_raw
+
+
 def _host_embed_matrix(mat, dtype=np.float64):
     """Complex sparse matrix -> embedded real CSR with host-side data
     movement (complex gathers are unsupported on TPU)."""
@@ -224,6 +396,10 @@ def _geigsh_embedded_complex(*, m0, n, ne, emin, emax, params, guess, cdtype,
     res_np = np.zeros((0,))
     x_np = np.zeros((n, 0), dtype=cdtype)
     loops_done = 0
+    refine_n = (params.refine_solves if params.refine_solves is not None
+                else (2 if factors_dtype_f32 else 0))
+    if refine_data is None:
+        refine_n = 0
 
     for loop in range(params.max_loops):
         loops_done = loop + 1
@@ -232,7 +408,7 @@ def _geigsh_embedded_complex(*, m0, n, ne, emin, emax, params, guess, cdtype,
         by_stack = by_stack64.astype(sdt)
         s_stack = _solve_all(factors, by_stack, False).astype(jnp.float64)
         t_stack = _solve_all(factors, by_stack, True).astype(jnp.float64)
-        for _ in range(params.refine_solves):
+        for _ in range(refine_n):
             s_stack = _refine_stack(factors, s_stack, by_stack64, sdt,
                                     refine_data, refine_rows, refine_cols,
                                     trans=False)
@@ -466,10 +642,14 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
             )
             for k in range(ne)
         ]
-    factors_dtype_f32 = use_embed and jax.default_backend() != "cpu" 
+    factors_dtype_f32 = use_embed and jax.default_backend() != "cpu"
+    refine_n = (params.refine_solves if params.refine_solves is not None
+                else (2 if factors_dtype_f32 else 0))
     refine_data = refine_rows = refine_cols = None
-    if use_embed and params.refine_solves > 0:
-        # f64 embedded data for residual SpMVs in per-node refinement
+    if use_embed and refine_n > 0 and not real_input:
+        # complex path only: f64 embedded data for scatter-residual
+        # refinement (the real path refines in the original space through
+        # the fast SpMM closures — _refine_nodes)
         refine_data = jnp.asarray(
             ce.embed_data(data_stack_c, eperm).astype(np.float64)
         )
@@ -519,101 +699,176 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
     eps_prev = np.inf
     lam_np = np.zeros((0,))
     res_np = np.zeros((0,))
-    x_np = np.zeros((n, 0))
+    x_dev = None
+    inside = np.zeros((0,), dtype=bool)
     loops_done = 0
 
-    for loop in range(params.max_loops):
-        loops_done = loop + 1
-        # ---- quadrature: ONE batched solve over all nodes (ijob=11 / 21)
-        if use_embed:
-            # fully real pipeline: solve the embedded systems, then combine
-            # Re(sigma S) = Re(sigma) S_re - Im(sigma) S_im directly from the
-            # interleaved (re, im) rows — no complex dtype on device.
-            from sparse_linear_tpu.solve import complex_embed as ce
+    # fast device operators for the hot SpMMs of the loop (ijob 30/40 and
+    # residuals); B = I (the eigSH case) skips its products entirely
+    with host_ctx():
+        b_is_ident = _is_identity(mat_b)
+    fast_a_mm = _fast_spmm_op(mat_a)
+    fast_b_mm = (lambda X: X) if b_is_ident else _fast_spmm_op(mat_b)
+    a_sp_host = b_sp_host = None
+    if use_embed:
+        with host_ctx():
+            a_sp_host, b_sp_host = _host_rr_state(mat_a, mat_b, b_is_ident)
+    x_host = None
+    tiny = np.finfo(np.float64).tiny
+    sdt = jnp.float32 if factors_dtype_f32 else jnp.float64
 
-            by = spmm(mat_b, y)
-            sdt = jnp.float32 if factors_dtype_f32 else jnp.float64
+    # ---- the two jitted device programs of the refinement loop.  On the
+    # remote runtime every eager op pays a ~35 ms dispatch round trip, so
+    # the whole filter (solves + refinement + quadrature combine +
+    # orthonormalization + reduced Gram) runs as ONE program, and the Ritz
+    # residual/restart step as a second.  The reduced m0 x m0 eigenproblem
+    # stays on host between them; its outputs are padded to the static m0
+    # width so varying kept-column counts never retrigger compilation.
+    if use_embed:
+        # the whole filter as ONE jitted program overwhelms the remote TPU
+        # compiler at scale, so the host composes a handful of compiled
+        # pieces (the level solves are jitted inside solve_api): ~15 device
+        # dispatches per loop instead of hundreds of eager ops.
+        from sparse_linear_tpu.solve import complex_embed as ce
+
+        @jax.jit
+        def _pre_solve(y_arg):
+            by = fast_b_mm(y_arg)
             by_e64 = ce.embed_vec(by.astype(jnp.float64))
-            by_stack64 = jnp.broadcast_to(by_e64, (ne,) + by_e64.shape)
-            by_stack = by_stack64.astype(sdt)
-            s_stack = _solve_all(factors, by_stack, False).astype(jnp.float64)
-            t_stack = _solve_all(factors, by_stack, True).astype(jnp.float64)
-            if params.refine_solves > 0:
-                for _ in range(params.refine_solves):
-                    s_stack = _refine_stack(
-                        factors, s_stack, by_stack64, sdt, refine_data,
-                        refine_rows, refine_cols, trans=False,
-                    )
-                    t_stack = _refine_stack(
-                        factors, t_stack, by_stack64, sdt, refine_data,
-                        refine_rows, refine_cols, trans=True,
-                    )
+            by_stack = jnp.broadcast_to(
+                by_e64, (ne,) + by_e64.shape
+            ).astype(sdt)
+            return by.astype(jnp.float64), by_stack
+
+        _resid_s = jax.jit(lambda x64, by64: _refine_residual(
+            fast_a_mm, fast_b_mm, z_nodes, x64, by64, False))
+        _resid_t = jax.jit(lambda x64, by64: _refine_residual(
+            fast_a_mm, fast_b_mm, z_nodes, x64, by64, True))
+        _add64 = jax.jit(lambda x64, dx: x64 + dx.astype(jnp.float64))
+
+        @jax.jit
+        def _combine_q(s_stack, t_stack):
+            # q = sum_k Re(sigma_k S_k) + Re(conj(sigma_k) T_k), from the
+            # interleaved (re, im) rows — no complex dtype on device.
+            # Broadcast-multiply + sum over the 8-node axis (VPU, exact)
+            # rather than einsum: f64 MXU contractions truncate to f32 on
+            # this stack (see utils/precision.py).
             sr, si = s_stack[:, 0::2, :], s_stack[:, 1::2, :]
             tr, ti = t_stack[:, 0::2, :], t_stack[:, 1::2, :]
-            # q = sum_k Re(sigma_k S_k) + Re(conj(sigma_k) T_k)
-            q = (
-                jnp.einsum("k,knm->nm", sig_re, sr)
-                - jnp.einsum("k,knm->nm", sig_im, si)
-                + jnp.einsum("k,knm->nm", sig_re, tr)
-                + jnp.einsum("k,knm->nm", sig_im, ti)
+            re3 = sig_re[:, None, None]
+            im3 = sig_im[:, None, None]
+            q_ = (
+                (re3 * sr).sum(0) - (im3 * si).sum(0)
+                + (re3 * tr).sum(0) + (im3 * ti).sum(0)
             ).astype(in_dtype)
-        else:
-            by = spmm(mat_b, y).astype(cdtype)
+            return shard_rows_arr(q_)
+
+        def filter_step(factors_arg, y_arg):
+            by64, by_stack = _pre_solve(y_arg)
+            s = _solve_all(factors_arg, by_stack, False).astype(jnp.float64)
+            t = _solve_all(factors_arg, by_stack, True).astype(jnp.float64)
+            for _ in range(refine_n):
+                rs = _resid_s(s, by64)
+                s = _add64(s, _solve_all(factors_arg, rs.astype(sdt), False))
+                rt = _resid_t(t, by64)
+                t = _add64(t, _solve_all(factors_arg, rt.astype(sdt), True))
+            return _combine_q(s, t)
+    else:
+
+        def _filter(factors_arg, y_arg):
+            by = fast_b_mm(y_arg).astype(cdtype)
             by_stack = jnp.broadcast_to(by, (ne,) + by.shape)
-            s_stack = _solve_all(factors, by_stack, False)
-            t_stack = _solve_all(factors, by_stack, True)
+            s_stack = _solve_all(factors_arg, by_stack, False)
+            t_stack = _solve_all(factors_arg, by_stack, True)
             sig = jnp.asarray(sigma)
-            q = (
+            q_ = (
                 jnp.einsum("k,knm->nm", sig, s_stack)
                 + jnp.einsum("k,knm->nm", jnp.conj(sig), t_stack)
             )
             if real_input:
-                q = q.real.astype(in_dtype)
+                q_ = q_.real.astype(in_dtype)
+            q_ = shard_rows_arr(_orthonormalize(shard_rows_arr(q_)))
+            aq_ = jnp.conj(q_.T) @ fast_a_mm(q_)
+            bq_ = jnp.conj(q_.T) @ fast_b_mm(q_)
+            return q_, aq_, bq_
 
-        # ---- orthonormalize the filtered subspace before the reduced solve:
-        # keeps Bq well-conditioned so the Ritz residual floor reaches
-        # machine precision (the Fortran FEAST works on the raw Q and floors
-        # around 1e-12)
-        q = shard_rows_arr(q)
-        q, _ = jnp.linalg.qr(q, mode="reduced")
-        q = shard_rows_arr(q)
+        filter_step = jax.jit(_filter)
 
-        # ---- Rayleigh-Ritz (the m0 x m0 reduced problem, Feast.hs:153-154)
-        aq_full = spmm(mat_a, q)  # ijob=30
-        bq_full = spmm(mat_b, q)  # ijob=40
-        aq = np.asarray(jnp.conj(q.T) @ aq_full)
-        bq = np.asarray(jnp.conj(q.T) @ bq_full)
-        lam, coeff = _reduced_geig(aq, bq)
-        x = np.asarray(q) @ coeff  # (n, m_kept) Ritz vectors, B-orthonormal
+    def _ritz(q_arg, coeff_pad, lam_pad, keep, key):
+        x_pad = dot64(q_arg, coeff_pad.astype(q_arg.dtype))  # (n, m0) Ritz
+        ax = fast_a_mm(x_pad)
+        bx = fast_b_mm(x_pad)
+        rnorm = jnp.linalg.norm(ax - bx * lam_pad[None, :].astype(ax.dtype),
+                                axis=0)
+        xnorm = jnp.maximum(jnp.linalg.norm(x_pad, axis=0), tiny)
+        res_ = rnorm / (lam_scale * xnorm)
+        rdt = jnp.zeros(0, x_pad.dtype).real.dtype
+        fill = jax.random.normal(key, x_pad.shape, dtype=rdt)
+        if not real_input:
+            fill = fill + 1j * jax.random.normal(
+                jax.random.fold_in(key, 1), x_pad.shape, dtype=rdt
+            )
+        # dropped directions are refilled randomly to keep the subspace full
+        y_next = jnp.where(keep[None, :] > 0, x_pad,
+                           fill.astype(x_pad.dtype))
+        return res_, y_next, x_pad
 
-        # ---- residuals (per pair): ||A x - lam B x|| / (lam_scale ||x||)
-        ax = np.asarray(spmm(mat_a, jnp.asarray(x)))
-        bx = np.asarray(spmm(mat_b, jnp.asarray(x)))
-        rnorm = np.linalg.norm(ax - bx * lam[None, :], axis=0)
-        xnorm = np.maximum(np.linalg.norm(x, axis=0), np.finfo(float).tiny)
-        res = rnorm / (lam_scale * xnorm)
+    ritz_step = jax.jit(_ritz)
+    stalls = 0
 
-        inside = (lam >= emin) & (lam <= emax)
-        m_found = int(inside.sum())
-        epsout = float(res[inside].max()) if m_found else float(res.max())
+    for loop in range(params.max_loops):
+        loops_done = loop + 1
+        if use_embed:
+            # ---- accelerator path: solves + refinement + quadrature on
+            # device; whitening + Rayleigh-Ritz + residuals on host (exact
+            # f64 — see _host_rr_state for why the device Grams cannot be
+            # trusted on this stack).  One subspace pull + push per loop.
+            q = filter_step(factors, y)
+            lam, res, x_loop, y_np, inside_k = _host_whiten_rr(
+                np.asarray(q), a_sp_host, b_sp_host, m0, emin, emax,
+                lam_scale,
+            )
+            y = shard_rows_arr(jnp.asarray(y_np))
+            x_host = x_loop
+            x_dev = None
+        else:
+            q, aq_d, bq_d = filter_step(factors, y)
+            aq = np.asarray(aq_d)
+            bq = np.asarray(bq_d)
+
+            # ---- Rayleigh-Ritz (m0 x m0 reduced problem, Feast.hs:153-154)
+            # on host; outputs padded back to the static m0 width
+            lam, coeff = _reduced_geig(aq, bq)
+            m_kept = int(coeff.shape[1])
+            coeff_pad = np.zeros((m0, m0), dtype=coeff.dtype)
+            coeff_pad[:, :m_kept] = coeff
+            lam_pad = np.zeros((m0,), dtype=np.float64)
+            lam_pad[:m_kept] = np.real(lam)
+            keep = np.zeros((m0,), dtype=np.float64)
+            keep[:m_kept] = 1.0
+
+            # ---- residuals + warm-restart subspace, second device program
+            res_pad, y, x_dev = ritz_step(
+                q, jnp.asarray(coeff_pad), jnp.asarray(lam_pad),
+                jnp.asarray(keep), jax.random.key(params.seed + loop + 1),
+            )
+            res = np.asarray(res_pad)[:m_kept]
+            lam = np.real(lam)[:m_kept]
+            x_host = None
+
+        inside_k = (lam >= emin) & (lam <= emax)
+        m_found = int(inside_k.sum())
+        epsout = float(res[inside_k].max()) if m_found else float(res.max())
         if params.debug:
             print(
                 f"feast loop {loop}: m={m_found}, epsout={epsout:.3e}, "
-                f"lam_in={np.sort(lam[inside])[:8]}"
+                f"lam_in={np.sort(lam[inside_k])[:8]}"
             )
 
-        lam_np, res_np, x_np = lam[inside], res[inside], x[:, inside]
-        # full subspace for warm restart: pad kept columns back to m0
-        y_next = np.zeros((n, m0), dtype=x.dtype)
-        y_next[:, : x.shape[1]] = x
-        if x.shape[1] < m0:
-            # refill dropped directions randomly to keep the subspace full
-            rng_fill = np.random.default_rng(params.seed + loop + 1)
-            fill = rng_fill.standard_normal((n, m0 - x.shape[1]))
-            if np.issubdtype(x.dtype, np.complexfloating):
-                fill = fill + 1j * rng_fill.standard_normal((n, m0 - x.shape[1]))
-            y_next[:, x.shape[1]:] = fill.astype(x.dtype)
-        y = jnp.asarray(y_next)
+        lam_np, res_np = lam[inside_k], res[inside_k]
+        m_kept = len(lam)
+        inside = np.zeros((m0,), dtype=bool)
+        inside[:m_kept] = inside_k
 
         if m_found and epsout <= params.tol:
             info = INFO_OK
@@ -621,11 +876,15 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
         if m_found == 0 and loop >= 2:
             info = INFO_NO_EIGENVALUES
             break
-        # stagnation: the residual floor of the solver accuracy has been
-        # reached (inexact solves); further subspace iterations cannot help
+        # stagnation: two consecutive loops without meaningful progress
+        # means the solver-accuracy floor has been reached
         if loop >= 2 and epsout > 0.5 * eps_prev:
-            break
-        eps_prev = epsout
+            stalls += 1
+            if stalls >= 2:
+                break
+        else:
+            stalls = 0
+        eps_prev = min(eps_prev, epsout)
 
     if len(lam_np) == m0:
         # all m0 Ritz pairs land inside the interval: the subspace is (or may
@@ -633,6 +892,13 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
         # warning case (Feast.hs:252-257).  Flagged regardless of convergence,
         # since a too-small subspace also prevents convergence.
         info = INFO_SUBSPACE_TOO_SMALL
+
+    if x_dev is not None:
+        x_np = np.asarray(x_dev)[:, inside]
+    elif x_host is not None:
+        x_np = x_host[:, inside[: x_host.shape[1]]]
+    else:
+        x_np = np.zeros((n, 0))
 
     order = np.argsort(lam_np)
     return EigResult(

@@ -132,11 +132,29 @@ class _MatrixOpsMixin:
 
     def is_hermitian(self, tol: float = 0.0):
         """ctrans m == m (reference ``hermitian``, Matrix/Sparse.hs:377-379;
-        exact equality there — ``tol`` generalizes)."""
+        exact equality there — ``tol`` generalizes).
+
+        Sparse comparison on canonical CSR arrays — O(nnz), never
+        densifies (the pattern of A and ctrans(A) must agree entry for
+        entry)."""
         import numpy as _np
 
-        d = _np.asarray(self.todense())
-        return bool(_np.allclose(d, d.conj().T, atol=tol, rtol=0))
+        nr, nc = self.shape
+        if nr != nc:
+            return False
+        from sparse_linear_tpu.ops.build import trim as _trim
+
+        a = _trim(self.tocsr())
+        h = _trim(a.ctrans().tocsr())
+        if not _np.array_equal(_np.asarray(a.indptr), _np.asarray(h.indptr)):
+            return False
+        if not _np.array_equal(
+            _np.asarray(a.indices), _np.asarray(h.indices)
+        ):
+            return False
+        return bool(_np.allclose(
+            _np.asarray(a.data), _np.asarray(h.data), atol=tol, rtol=0
+        ))
 
     @property
     def dtype(self):

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from sparse_linear_tpu.dtypes import index_dtype
 from sparse_linear_tpu.formats.base import expand_indptr
 
-__all__ = ["dia_spmv", "ell_spmv", "bsr_spmv", "bsr_spmm"]
+__all__ = ["dia_spmv", "dia_spmm", "ell_spmv", "bsr_spmv", "bsr_spmm"]
 
 
 def dia_spmv(dia, x):
@@ -38,6 +38,29 @@ def dia_spmv(dia, x):
     for d, off in enumerate(offsets):
         start = off + pad_lo
         y = y + dia.data[d] * jax.lax.slice_in_dim(xp, start, start + nr)
+    return y
+
+
+def dia_spmm(dia, x):
+    """Y = A @ X for DIA storage and dense X (ncols, m): the dia_spmv
+    shifted-fma loop lifted over the column axis — one streaming VPU pass
+    per diagonal, no gathers (f64-safe on TPU, unlike the scatter paths)."""
+    nr, nc = dia.shape
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        return dia_spmv(dia, x)
+    if x.shape[0] != nc:
+        raise ValueError(f"dia_spmm: dimension mismatch {dia.shape} @ {x.shape}")
+    offsets = dia.offsets
+    pad_lo = max(0, -min(offsets, default=0))
+    pad_hi = max(0, max(offsets, default=0) + nr - nc)
+    xp = jnp.pad(x, ((pad_lo, pad_hi), (0, 0)))
+    y = jnp.zeros((nr, x.shape[1]), dtype=jnp.result_type(dia.data, x))
+    for d, off in enumerate(offsets):
+        start = off + pad_lo
+        y = y + dia.data[d][:, None] * jax.lax.slice_in_dim(
+            xp, start, start + nr, axis=0
+        )
     return y
 
 

@@ -101,6 +101,12 @@ def well_spmv(a, x, interpret: bool | None = None, vb: int = 16):
         )
     if interpret is None:
         interpret = _interpret_default()
+    if not interpret and jnp.dtype(a.vals.dtype).itemsize == 8:
+        raise TypeError(
+            "well_spmv: the TPU in-register gather has no 64-bit support; "
+            "store the WELL in f32 and recover accuracy with iterative "
+            "refinement (solve.api.solve_refined pattern), or run off-TPU"
+        )
     a_im = getattr(a, "vals_im", None)
     if a_im is None and not jnp.iscomplexobj(x):
         return _well_spmv_real(a, x, interpret=interpret, vb=vb)

@@ -90,6 +90,24 @@ class MFFactors:
         self.kind = kind  # "lu" (restricted partial pivoting) | "cholesky"
 
 
+def _mff_flatten(f):
+    keys = sorted(f.blocks.keys())
+    return [f.blocks[k] for k in keys], (f.symbolic, f.dtype, f.kind,
+                                         tuple(keys))
+
+
+def _mff_unflatten(aux, children):
+    sym, dtype, kind, keys = aux
+    return MFFactors(sym, dict(zip(keys, children)), dtype, kind)
+
+
+# Pytree registration lets a factor artifact cross jit boundaries as an
+# ARGUMENT (closure capture would bake its dense blocks into the compile
+# payload).  The symbolic schedule rides the static aux data by object
+# identity — reusing one analyze() artifact keeps a single trace.
+jax.tree_util.register_pytree_node(MFFactors, _mff_flatten, _mff_unflatten)
+
+
 # ---------------------------------------------------------------------------
 # symbolic / schedule construction (host)
 # ---------------------------------------------------------------------------
@@ -533,22 +551,36 @@ def factor(mat: CSR, symbolic: MFSymbolic, kind: str = "lu",
             "(analyze once per pattern, factor per value set)"
         )
     dm = _device_maps(symbolic)
-    fns = getattr(symbolic, "_factor_fns", None)
-    if fns is None:
-        fns = symbolic._factor_fns = {}
     a_data = jnp.asarray(mat.data)
-    fkey = (str(a_data.dtype), kind, id(mesh) if mesh is not None else None,
-            batch_axis)
-    if fkey not in fns:
-        fns[fkey] = _build_factor_fn(symbolic, kind, mesh=mesh,
-                                     batch_axis=batch_axis)
-    blocks = fns[fkey](a_data, dm)
+    fkey = (_sym_cache_key(symbolic), "factor", str(a_data.dtype), kind,
+            id(mesh) if mesh is not None else None, batch_axis)
+    if fkey not in _PROGRAM_CACHE:
+        _PROGRAM_CACHE[fkey] = _build_factor_fn(symbolic, kind, mesh=mesh,
+                                                batch_axis=batch_axis)
+    blocks = _PROGRAM_CACHE[fkey](a_data, dm)
     return MFFactors(symbolic, blocks, a_data.dtype, kind=kind)
 
 
 # ---------------------------------------------------------------------------
 # triangular solves (device, level-batched, whole-solve jitted)
 # ---------------------------------------------------------------------------
+
+
+# Compiled factor/solve programs depend only on the SYMBOLIC schedule (and
+# trans/k/dtype/kind) — never on factor values — so they are cached globally
+# by schedule content.  Without this, FEAST's 8 per-contour-node factor
+# objects each recompiled an identical ~30 s solve program (measured 261 s
+# for one batched 8-node solve at 65k dof).
+_PROGRAM_CACHE: dict = {}
+
+
+def _sym_cache_key(sym: MFSymbolic):
+    return (
+        sym.n,
+        sym.pattern_key,
+        hash(np.asarray(sym.perm).tobytes()),
+        getattr(sym, "relax", None),
+    )
 
 
 def _build_solve_fn(symbolic: MFSymbolic, trans: bool, kind: str = "lu"):
@@ -672,15 +704,14 @@ def factor_batched(data_stack, symbolic: MFSymbolic,
     if data_stack.ndim != 2:
         raise ValueError("factor_batched: expected (ne, nnz) data stack")
     dm = _device_maps(symbolic)
-    fns = getattr(symbolic, "_factor_fns", None)
-    if fns is None:
-        fns = symbolic._factor_fns = {}
-    fkey = ("batched", str(data_stack.dtype), kind)
-    if fkey not in fns:
+    fkey = (_sym_cache_key(symbolic), "factor_batched",
+            str(data_stack.dtype), kind)
+    if fkey not in _PROGRAM_CACHE:
         base = _build_factor_fn(symbolic, kind)
-        fns[fkey] = jax.jit(jax.vmap(lambda d, m: base.__wrapped__(d, m),
-                                     in_axes=(0, None)))
-    blocks = fns[fkey](data_stack, dm)
+        _PROGRAM_CACHE[fkey] = jax.jit(
+            jax.vmap(lambda d, m: base.__wrapped__(d, m), in_axes=(0, None))
+        )
+    blocks = _PROGRAM_CACHE[fkey](data_stack, dm)
     out = MFFactors(symbolic, blocks, data_stack.dtype, kind=kind)
     out.batch = int(data_stack.shape[0])
     return out
@@ -695,18 +726,15 @@ def solve_batched(factors: MFFactors, b_stack, trans: bool = False):
             f"solve_batched: expected ({getattr(factors, 'batch', '?')}, n, k) rhs stack"
         )
     dm = _device_maps(sym)
-    fns = getattr(factors, "_solve_fns", None)
-    if fns is None:
-        fns = factors._solve_fns = {}
-    skey = ("batched", bool(trans), int(b_stack.shape[2]),
-            str(b_stack.dtype), factors.kind)
-    if skey not in fns:
+    skey = (_sym_cache_key(sym), "solve_batched", bool(trans),
+            int(b_stack.shape[2]), str(b_stack.dtype), factors.kind)
+    if skey not in _PROGRAM_CACHE:
         base = _build_solve_fn(sym, trans, factors.kind)
-        fns[skey] = jax.jit(
+        _PROGRAM_CACHE[skey] = jax.jit(
             jax.vmap(lambda blk, b, m: base.__wrapped__(blk, b, m),
                      in_axes=(0, 0, None))
         )
-    return fns[skey](factors.blocks, b_stack, dm)
+    return _PROGRAM_CACHE[skey](factors.blocks, b_stack, dm)
 
 
 def solve(factors: MFFactors, b, trans: bool = False):
@@ -721,11 +749,9 @@ def solve(factors: MFFactors, b, trans: bool = False):
     if b.shape[0] != sym.n:
         raise ValueError(f"solve: rhs has {b.shape[0]} rows, expected {sym.n}")
     dm = _device_maps(sym)
-    fns = getattr(factors, "_solve_fns", None)
-    if fns is None:
-        fns = factors._solve_fns = {}
-    skey = (bool(trans), int(b.shape[1]), str(b.dtype), factors.kind)
-    if skey not in fns:
-        fns[skey] = _build_solve_fn(sym, trans, factors.kind)
-    x = fns[skey](factors.blocks, b, dm)
+    skey = (_sym_cache_key(sym), "solve", bool(trans), int(b.shape[1]),
+            str(b.dtype), factors.kind)
+    if skey not in _PROGRAM_CACHE:
+        _PROGRAM_CACHE[skey] = _build_solve_fn(sym, trans, factors.kind)
+    x = _PROGRAM_CACHE[skey](factors.blocks, b, dm)
     return x[:, 0] if squeeze else x
