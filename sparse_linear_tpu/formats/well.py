@@ -190,8 +190,10 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
              if vals_im is not None else None),
         )
         return WELL(
-            bases=jnp.asarray(pb),
-            idx=jnp.asarray(pi),
+            # int32 explicitly: with x64 enabled jnp.asarray keeps the
+            # packer's int64, which Mosaic cannot lower in the kernel
+            bases=jnp.asarray(np.asarray(pb, dtype=np.int32)),
+            idx=jnp.asarray(np.asarray(pi, dtype=np.int32)),
             vals=jnp.asarray(pv),
             vals_im=None if pim is None else jnp.asarray(pim),
             shape=(nr, nc),

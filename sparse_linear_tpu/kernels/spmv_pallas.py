@@ -42,6 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["dia_spmv_pallas"]
 
 _LANES = 128
+# int32 constant for BlockSpec index maps: Python int literals trace as
+# int64 under x64 and Mosaic has no 64-bit lowering
+_I0 = np.int32(0)
 
 
 # ---------------------------------------------------------------------------
@@ -114,18 +117,24 @@ def _dia_spmv_blocked(dia, x, alpha, tile_rows=None):
     def x_spec(dk):
         return pl.BlockSpec(
             (tile, _LANES),
-            lambda i, dk=dk: (jnp.clip(i + dk, 0, nt - 1), 0),
+            # int32-only arithmetic: jnp.clip promotes through int64 under
+            # x64, and Mosaic's 64-bit convert_element_type lowering rule
+            # recurses on itself
+            lambda i, dk=dk: (
+                jnp.minimum(jnp.maximum(i + dk, _I0), np.int32(nt - 1)),
+                _I0,
+            ),
         )
 
     in_specs = [x_spec(dk) for dk in range(-k_halo, k_halo + 1)]
     in_specs.append(
-        pl.BlockSpec((ndiag, tile, _LANES), lambda i: (0, i, 0))
+        pl.BlockSpec((ndiag, tile, _LANES), lambda i: (_I0, i, _I0))
     )
     out = pl.pallas_call(
         functools.partial(_blocked_kernel, offsets, tile, k_halo, alpha),
         grid=(nt,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tile, _LANES), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((tile, _LANES), lambda i: (i, _I0)),
         out_shape=jax.ShapeDtypeStruct(
             (rows_n, _LANES), jnp.result_type(data.dtype, x.dtype)
         ),
@@ -230,11 +239,11 @@ def _dia_spmv_streamed(dia, x, tile, alpha):
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec(
                 (ndiag, rows, _LANES),
-                lambda i: (0, i, 0),
+                lambda i: (_I0, i, _I0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rows, _LANES), lambda i: (i, _I0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (nr_pad // _LANES, _LANES), jnp.result_type(data.dtype, x.dtype)

@@ -32,10 +32,41 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["well_spmv"]
+__all__ = ["well_spmv", "well_spmm"]
 
 _LANES = 128
 _VREG_ROWS = 1024
+# int32 constant for BlockSpec index maps: Python int literals trace as
+# int64 under x64 and Mosaic has no 64-bit lowering
+_I0 = np.int32(0)
+
+
+def _gather_sublanes(w, idx):
+    """p[i, j] = w[idx[i, j], j] — tpu.dynamic_gather along sublanes.
+
+    Direct lax.gather with int32 indices: jnp.take_along_axis converts
+    indices to the default int dtype, which is int64 under x64 and Mosaic
+    has no 64-bit lowering (its convert rule recurses)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(0,), start_index_map=(0,),
+        operand_batching_dims=(1,), start_indices_batching_dims=(1,),
+    )
+    return jax.lax.gather(
+        w, idx.astype(jnp.int32)[..., None], dnums, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+
+
+def _gather_lanes(p, idx):
+    """g[i, j] = p[i, idx[i, j]] — tpu.dynamic_gather along lanes."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+        operand_batching_dims=(0,), start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        p, idx.astype(jnp.int32)[..., None], dnums, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
 
 
 def _kernel(bases_ref, x_ref, idx_ref, vals_ref, o_ref, *, c_max: int,
@@ -48,8 +79,8 @@ def _kernel(bases_ref, x_ref, idx_ref, vals_ref, o_ref, *, c_max: int,
             base = bases_ref[(step * vb + b) * c_max + c]
             w = x_ref[pl.ds(base, 8), :]
             packed = idx_ref[b, c]
-            p = jnp.take_along_axis(w, packed >> 7, axis=0)
-            g = jnp.take_along_axis(p, packed & 127, axis=1)
+            p = _gather_sublanes(w, packed >> 7)
+            g = _gather_lanes(p, packed & 127)
             acc = acc + vals_ref[b, c] * g
         o_ref[pl.ds(b * 8, 8), :] = acc
 
@@ -74,17 +105,125 @@ def _well_spmv_real(a, x, interpret=False, vb=16):
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec(x2.shape, lambda v, s: (0, 0)),  # x resident
-                pl.BlockSpec((vb, cm, 8, _LANES), lambda v, s: (v, 0, 0, 0)),
-                pl.BlockSpec((vb, cm, 8, _LANES), lambda v, s: (v, 0, 0, 0)),
+                pl.BlockSpec(x2.shape, lambda v, s: (_I0, _I0)),  # x resident
+                pl.BlockSpec((vb, cm, 8, _LANES), lambda v, s: (v, _I0, _I0, _I0)),
+                pl.BlockSpec((vb, cm, 8, _LANES), lambda v, s: (v, _I0, _I0, _I0)),
             ],
-            out_specs=pl.BlockSpec((vb * 8, _LANES), lambda v, s: (v, 0)),
+            out_specs=pl.BlockSpec((vb * 8, _LANES), lambda v, s: (v, _I0)),
         ),
         out_shape=jax.ShapeDtypeStruct((nv * 8, _LANES), a.vals.dtype),
         interpret=interpret,
     )
     y2 = f(a.bases.reshape(-1), x2, a.idx, a.vals)
     return y2.reshape(-1)[:nr]
+
+
+def _spmm_kernel(bases_ref, x_ref, idx_ref, vals_ref, o_ref, *, c_max: int,
+                 vb: int, mt: int):
+    """Multi-RHS WELL kernel: the index planes of each chunk are loaded once
+    and reused by every RHS column of the tile (the FEAST ijob=30/40 hot op,
+    reference Feast.hs:203-208, at block width m0)."""
+    step_v = pl.program_id(0)
+    out_dtype = o_ref.dtype
+    for b in range(vb):
+        for t in range(mt):
+            acc = jnp.zeros((8, _LANES), out_dtype)
+            for c in range(c_max):
+                base = bases_ref[(step_v * vb + b) * c_max + c]
+                w = x_ref[t, pl.ds(base, 8), :]
+                packed = idx_ref[b, c]
+                p = _gather_sublanes(w, packed >> 7)
+                g = _gather_lanes(p, packed & 127)
+                acc = acc + vals_ref[b, c] * g
+            o_ref[t, pl.ds(b * 8, 8), :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "vb", "mt"))
+def _well_spmm_real(a, x, interpret=False, vb=4, mt=8):
+    """Y = A @ X for WELL storage and dense real X (nc, m).
+
+    Grid (vreg tiles, RHS tiles) with the RHS axis minor: the chunk
+    index/value planes of a vreg tile stay VMEM-resident across all RHS
+    tiles, so the A stream is read once and the extra cost per RHS column
+    is just the two in-register gathers + fma."""
+    nr, nc = a.shape
+    nv, cm = a.bases.shape
+    m = x.shape[1]
+    while nv % vb:
+        vb //= 2
+    vb = max(vb, 1)
+    m_pad = -(-m // mt) * mt
+    nc_pad = max(-(-nc // _VREG_ROWS) * _VREG_ROWS, _VREG_ROWS)
+    # windows may start in the last (partial) vreg of x: pad one extra vreg
+    x2 = jnp.pad(
+        x.T.astype(a.vals.dtype),
+        ((0, m_pad - m), (0, nc_pad + _VREG_ROWS - nc)),
+    ).reshape(m_pad, -1, _LANES)
+
+    grid = (nv // vb, m_pad // mt)
+    f = pl.pallas_call(
+        functools.partial(_spmm_kernel, c_max=cm, vb=vb, mt=mt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((mt,) + x2.shape[1:], lambda v, t, s: (t, _I0, _I0)),
+                pl.BlockSpec((vb, cm, 8, _LANES),
+                             lambda v, t, s: (v, _I0, _I0, _I0)),
+                pl.BlockSpec((vb, cm, 8, _LANES),
+                             lambda v, t, s: (v, _I0, _I0, _I0)),
+            ],
+            out_specs=pl.BlockSpec((mt, vb * 8, _LANES),
+                                   lambda v, t, s: (t, v, _I0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, nv * 8, _LANES), a.vals.dtype),
+        interpret=interpret,
+    )
+    y2 = f(a.bases.reshape(-1), x2, a.idx, a.vals)
+    return y2.reshape(m_pad, -1)[:m, :nr].T
+
+
+def well_spmm(a, x, interpret: bool | None = None, vb: int = 4, mt: int = 8):
+    """Y = A @ X for WELL storage, X dense (nc, m).  Real dtypes on TPU
+    (32-bit); complex and f64 compose from real plane passes exactly like
+    :func:`well_spmv`."""
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        return well_spmv(a, x, interpret=interpret)
+    if x.shape[0] != a.shape[1]:
+        raise ValueError(
+            f"well_spmm: dimension mismatch {a.shape} @ {x.shape}"
+        )
+    if interpret is None:
+        interpret = _interpret_default()
+    if not interpret and jnp.dtype(a.vals.dtype).itemsize == 8:
+        raise TypeError(
+            "well_spmm: the TPU in-register gather has no 64-bit support; "
+            "store the WELL in f32 (pair with iterative refinement), use "
+            "BSR for f64 SpMM, or run off-TPU"
+        )
+    a_im = getattr(a, "vals_im", None)
+    if a_im is None and not jnp.iscomplexobj(x):
+        return _well_spmm_real(a, x, interpret=interpret, vb=vb, mt=mt)
+    import dataclasses
+
+    ar = a if a_im is None else dataclasses.replace(a, vals_im=None)
+    xr = jnp.real(x).astype(a.vals.dtype)
+    xi = (jnp.imag(x).astype(a.vals.dtype)
+          if jnp.iscomplexobj(x) else None)
+    run = functools.partial(_well_spmm_real, interpret=interpret, vb=vb,
+                            mt=mt)
+    y_re = run(ar, xr)
+    y_im = jnp.zeros_like(y_re)
+    if xi is not None:
+        y_im = y_im + run(ar, xi)
+    if a_im is not None:
+        ai = dataclasses.replace(a, vals=a.vals_im, vals_im=None)
+        y_im = y_im + run(ai, xr)
+        if xi is not None:
+            y_re = y_re - run(ai, xi)
+    cdtype = jnp.complex128 if a.vals.dtype == jnp.float64 else jnp.complex64
+    return (y_re + 1j * y_im).astype(cdtype)
 
 
 def _interpret_default() -> bool:

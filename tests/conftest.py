@@ -9,19 +9,26 @@ Must run before the first ``import jax`` anywhere in the test session.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# SLT_TEST_PLATFORM=tpu runs the suite against the real chip (used by
+# tests/test_tpu_smoke.py to catch kernel-lowering regressions before the
+# round-end bench); the default pins the virtual CPU mesh.
+_platform = os.environ.get("SLT_TEST_PLATFORM", "cpu")
+
+if _platform == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
 # The environment may pre-register an accelerator platform via sitecustomize
 # and pin jax.config.jax_platforms; the env var alone does not win, so force
 # the config too.
-jax.config.update("jax_platforms", "cpu")
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,104 @@
+"""On-TPU smoke tests: catch kernel-lowering regressions before the bench.
+
+The default test session pins the virtual CPU mesh (conftest.py), where the
+Pallas kernels run through the interpreter only — a TPU lowering regression
+would surface only as a bench crash at round end.  This suite runs the hot
+kernels on the REAL chip at tiny sizes (<2 min total):
+
+    SLT_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_smoke.py -q
+
+Skipped automatically when no TPU is attached (including the default
+CPU-pinned session).  Mirrors the reference's "golden ratio" smoke idea —
+fast end-to-end checks on the production backend (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="requires the real TPU chip (run with SLT_TEST_PLATFORM=tpu)",
+)
+
+
+def _random_csr(rng, nr, nc, density=0.05, dtype=np.float32):
+    import sparse_linear_tpu as sl
+
+    n = int(nr * nc * density) + 1
+    rows = rng.integers(0, nr, size=n)
+    cols = rng.integers(0, nc, size=n)
+    vals = rng.standard_normal(n).astype(dtype)
+    return sl.from_triples((nr, nc), rows, cols, vals).tocsr()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_well_spmv_on_chip(rng):
+    from sparse_linear_tpu.formats.well import csr_to_well
+    from sparse_linear_tpu.kernels.spmv_well import well_spmv
+
+    a = _random_csr(rng, 1200, 900, 0.02)
+    w = csr_to_well(a)
+    x = rng.standard_normal(900).astype(np.float32)
+    y = well_spmv(w, jnp.asarray(x), interpret=False)
+    ref = np.asarray(a.todense()) @ x
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=2e-4)
+
+
+def test_well_spmm_on_chip(rng):
+    from sparse_linear_tpu.formats.well import csr_to_well
+    from sparse_linear_tpu.kernels.spmv_well import well_spmm
+
+    a = _random_csr(rng, 800, 600, 0.03)
+    w = csr_to_well(a)
+    x = rng.standard_normal((600, 24)).astype(np.float32)
+    y = well_spmm(w, jnp.asarray(x), interpret=False)
+    ref = np.asarray(a.todense()) @ x
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=2e-4)
+
+
+def test_dia_spmv_pallas_on_chip(rng):
+    from sparse_linear_tpu.kernels.spmv_pallas import dia_spmv_pallas
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    g = 64
+    a = poisson_2d(g, dtype=np.float32, fmt="dia")
+    x = rng.standard_normal(g * g).astype(np.float32)
+    y = dia_spmv_pallas(a, jnp.asarray(x))
+    a_csr = poisson_2d(g, dtype=np.float32)
+    ref = np.asarray(a_csr.todense()) @ x
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=2e-4)
+
+
+def test_multifrontal_factor_solve_on_chip():
+    from sparse_linear_tpu.solve import multifrontal as mf
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    g = 24
+    a = poisson_2d(g, dtype=np.float32)
+    sym = mf.analyze(a, dims=(g, g))
+    fac = mf.factor(a, sym, kind="cholesky")
+    b = jnp.ones((g * g,), jnp.float32)
+    x = mf.solve(fac, b)
+    r = np.asarray(a.todense()) @ np.asarray(x, dtype=np.float64) - 1.0
+    assert np.linalg.norm(r) / np.sqrt(g * g) < 1e-4
+    assert not fac.breakdown
+
+
+def test_eigsh_on_chip():
+    import sparse_linear_tpu as sl
+    from sparse_linear_tpu.eig.feast import FeastParams, eigsh
+
+    # analytic {1, 3} spectrum
+    a = sl.from_triples(
+        (2, 2), [0, 0, 1, 1], [0, 1, 0, 1],
+        np.array([2.0, 1.0, 1.0, 2.0])
+    )
+    res = eigsh(2, (0.5, 3.5), a, FeastParams(tol=1e-8, contour_points=4))
+    np.testing.assert_allclose(np.sort(res.values), [1.0, 3.0], atol=1e-6)
