@@ -285,22 +285,19 @@ def _is_identity(mat) -> bool:
 
 
 def _fast_spmm_op(mat):
-    """Device SpMM closure for the subspace iteration.
+    """Device SpMM closure for the subspace iteration (the hot ijob=30/40
+    multiply, Feast.hs:203-208).
 
     Banded real patterns ride DIA (shifted slices + fma — f64-safe on TPU,
-    where the CSR scatter path crawls); everything else falls back to the
-    generic spmm."""
+    where the CSR scatter path crawls); unstructured real patterns route to
+    the WELL/BSR kernels via the shared selector in eig/real_pipeline."""
     import numpy as _np
 
-    try:
-        if not _np.iscomplexobj(_np.asarray(mat.data)):
-            from sparse_linear_tpu.formats.structured import csr_to_dia
-            from sparse_linear_tpu.kernels.spmv import dia_spmm
+    if not _np.iscomplexobj(_np.asarray(mat.data)):
+        from sparse_linear_tpu.eig.real_pipeline import _structured_op
 
-            d = csr_to_dia(mat.tocsr(), max_diags=64)
-            return lambda X: dia_spmm(d, X)
-    except (ValueError, TypeError):
-        pass
+        fn, _ = _structured_op(mat)
+        return fn
     return lambda X: spmm(mat, X)
 
 
@@ -554,6 +551,17 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
         if params.check_hermitian:
             _check_hermitian(mat_a, "A")
             _check_hermitian(mat_b, "B")
+
+    if (real_input and mesh is None
+            and params.complex_strategy != "native"
+            and jax.default_backend() not in ("cpu",)):
+        # accelerator fast path for real symmetric pencils: cached pipeline,
+        # contour-batched factor/solve, conjugate-eliminated trans solves,
+        # device-resident Rayleigh-Ritz (eig/real_pipeline.py)
+        from sparse_linear_tpu.eig.real_pipeline import geigsh_real_tpu
+
+        return geigsh_real_tpu(m0, (emin, emax), mat_a, mat_b, params,
+                               guess=guess)
 
     # ---- contour + shifted factorizations (ijob=10, hoisted out of the loop)
     # All contour nodes share one pattern (union of A and B); one symbolic,

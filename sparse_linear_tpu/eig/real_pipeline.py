@@ -1,0 +1,440 @@
+"""Cached device-resident FEAST pipeline for real symmetric pencils on TPU.
+
+This is the accelerator fast path of :func:`sparse_linear_tpu.eig.feast.geigsh`
+for real-symmetric (A, B): the case of the reference's ``dfeast_srci`` driver
+(reference: feast/src/Numeric/LinearAlgebra/Feast/Internal.hs:67-71,
+Feast.hs:115-240).  It differs from the generic driver in four ways, each
+worth a large constant factor on the TPU:
+
+1. **Pattern-keyed pipeline cache.**  Symbolic analysis, the real 2n
+   embedding of the shifted complex systems, the structured fast-SpMM
+   operators, and every jitted device program are built once per
+   (pattern, values) key and reused across calls — the reference's
+   "analyze once, the shape never changes" staging (Feast.hs:210-212)
+   promoted to the whole pipeline.
+
+2. **Transpose solves eliminated.**  For a real pencil and real RHS,
+   (conj(z) B - A)^{-1} r = conj((z B - A)^{-1} r): the lower-semicircle
+   (ijob=21) solves are conjugates of the upper ones, so the quadrature
+   needs only the S-solves and doubles their real part
+   (q = 2 Re sum_k sigma_k S_k).  Halves all solve work.
+
+3. **Contour-batched factor + solve.**  All ne shifted factorizations run
+   as ONE batched device program (vmapped multifrontal), and each
+   refinement loop's multi-RHS solves are one batched dispatch — measured
+   0.5 s factor + 0.12 s solve for ne=8 at 2n=73728 where per-node
+   dispatch chains cost 3.1 s + 0.3 s per solve round.
+
+4. **Device-resident Rayleigh-Ritz.**  Whitening Grams, reduced-problem
+   blocks, Ritz vectors, and residuals stay on device in f64 via the
+   chunk-accumulated ``dot64`` (utils/precision.py — exact to ~1e-14 at any
+   contraction length); only the m0 x m0 eigenproblems cross to the host
+   (~50 KB per loop instead of the full (n, m0) subspace).
+
+Solve accuracy is staged: loop 0 runs plain f32 solves (the contour filter
+itself limits that loop to ~1e-6), later loops add mixed-precision
+refinement steps with f64 residuals in the ORIGINAL complex space through
+the structured SpMM closures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sparse_linear_tpu.utils.precision import dot64
+
+__all__ = ["geigsh_real_tpu"]
+
+_PIPELINE_CACHE: dict = {}
+_PIPELINE_CACHE_MAX = 8
+
+
+def _fingerprint(mat) -> tuple:
+    csr = mat.tocsr()
+    ip = np.asarray(csr.indptr)
+    ix = np.asarray(csr.indices)
+    da = np.asarray(csr.data)
+    return (
+        csr.shape,
+        hash(ip.tobytes()),
+        hash(ix.tobytes()),
+        hash(da.tobytes()),
+    )
+
+
+def _structured_op(mat):
+    """(spmm_fn, is_identity) — the fast device SpMM for this operator:
+
+    * identity -> no-op,
+    * banded   -> DIA shifted-slice SpMM (exact in f64 on the VPU),
+    * unstructured 32-bit -> WELL multi-RHS Pallas kernel,
+    * unstructured f64    -> BSR batched block GEMMs (per-block contraction
+      length <= 128 keeps the emulated-f64 MXU accumulation exact — the
+      same chunking argument as utils/precision.dot64),
+    * fallback -> generic scatter spmm.
+    """
+    from sparse_linear_tpu.eig.feast import _is_identity
+
+    if _is_identity(mat):
+        return (lambda X: X), True
+    csr = mat.tocsr()
+    try:
+        from sparse_linear_tpu.formats.structured import csr_to_dia
+        from sparse_linear_tpu.kernels.spmv import dia_spmm
+
+        d = csr_to_dia(csr, max_diags=64)
+        return (lambda X: dia_spmm(d, X)), False
+    except (ValueError, TypeError):
+        pass
+    nnz = int(csr.nnz)
+    if np.dtype(csr.dtype).itemsize <= 4:
+        try:
+            from sparse_linear_tpu.formats.well import csr_to_well
+            from sparse_linear_tpu.kernels.spmv_well import well_spmm
+
+            w = csr_to_well(csr)
+            if w.fill >= 1.0 / 64.0:
+                return (lambda X: well_spmm(w, X)), False
+        except (ValueError, TypeError):
+            pass
+    else:
+        try:
+            from sparse_linear_tpu.formats.structured import csr_to_bsr
+            from sparse_linear_tpu.kernels.spmv import bsr_spmm
+
+            bm, bn = 8, 128
+            nr, nc = csr.shape
+            nr_p = -(-nr // bm) * bm
+            nc_p = -(-nc // bn) * bn
+            from sparse_linear_tpu.formats.matrix import CSR as _CSR
+
+            ip = np.asarray(csr.indptr)
+            padded = _CSR(
+                indptr=jnp.asarray(np.concatenate(
+                    [ip, np.full(nr_p - nr, ip[-1], dtype=ip.dtype)]
+                )),
+                indices=csr.indices, data=csr.data, shape=(nr_p, nc_p),
+            )
+            bsr = csr_to_bsr(padded, block_shape=(bm, bn))
+            if int(bsr.blocks.size) <= 64 * max(nnz, 1):
+                def _bsr_mm(X, _b=bsr, _nr=nr, _nc=nc, _ncp=nc_p):
+                    Xp = jnp.pad(X, ((0, _ncp - _nc), (0, 0)))
+                    return bsr_spmm(_b, Xp)[:_nr]
+
+                return _bsr_mm, False
+        except (ValueError, TypeError):
+            pass
+    from sparse_linear_tpu.ops.linalg import spmm
+
+    return (lambda X: spmm(mat, X)), False
+
+
+class _RealPencilPipeline:
+    """All pattern/value-dependent state for one (A, B, backend, dims)."""
+
+    def __init__(self, mat_a, mat_b, backend: str, dims):
+        from sparse_linear_tpu.eig.feast import _is_identity
+        from sparse_linear_tpu.ops.linalg import lin
+        from sparse_linear_tpu.solve import api as solve_api
+        from sparse_linear_tpu.solve import complex_embed as ce
+        from sparse_linear_tpu.solve import ordering as ord_mod
+
+        self.n = mat_a.shape[0]
+        self.backend = backend
+        # union-pattern matrices carrying B resp. A values (Feast.hs:210-218:
+        # one symbolic serves every contour node)
+        union_b = lin(1.0, mat_b, 0.0, mat_a)
+        union_a = lin(0.0, mat_b, 1.0, mat_a)
+        self.union_a_data = np.asarray(union_a.data)
+        self.union_b_data = np.asarray(union_b.data)
+        self.pattern_r, self.eperm = ce.embed_pattern(union_b)
+        self.eperm_np = np.asarray(self.eperm)
+        if backend == "multifrontal":
+            if dims is not None:
+                base = ord_mod.nested_dissection_grid(dims)
+                self.symbolic = solve_api.analyze(
+                    self.pattern_r, backend="multifrontal",
+                    perm=ce.embed_perm(base),
+                )
+            else:
+                self.symbolic = solve_api.analyze(
+                    self.pattern_r, backend="multifrontal"
+                )
+        else:
+            self.symbolic = solve_api.analyze(self.pattern_r, backend=backend)
+
+        self.a_mm, _ = _structured_op(mat_a)
+        self.b_mm, self.b_is_ident = _structured_op(mat_b)
+
+        # jitted per-(ne, m0) programs, built lazily
+        self._programs: dict = {}
+
+    # -- device programs -------------------------------------------------
+
+    def programs(self, ne: int, m0: int, z_nodes, sigma):
+        key = (ne, m0, hash(np.asarray(z_nodes).tobytes()))
+        if key in self._programs:
+            return self._programs[key]
+
+        a_mm, b_mm = self.a_mm, self.b_mm
+        n = self.n
+        sig_re = jnp.asarray(np.real(sigma))
+        sig_im = jnp.asarray(np.imag(sigma))
+        z_re = jnp.asarray(np.real(z_nodes))
+        z_im = jnp.asarray(np.imag(z_nodes))
+
+        @jax.jit
+        def pre(y):
+            """B y -> embedded f32 RHS stack (ne, 2n, m0) + f64 By."""
+            by = b_mm(y).astype(jnp.float64)
+            by_e = jnp.stack(
+                [by, jnp.zeros_like(by)], axis=1
+            ).reshape(2 * n, m0)
+            stack = jnp.broadcast_to(by_e, (ne, 2 * n, m0))
+            return by, stack.astype(jnp.float32)
+
+        @jax.jit
+        def resid(s64, by64):
+            """f64 residual of the embedded solves, computed in the ORIGINAL
+            complex space through the structured SpMMs: r_k = by - (z_k B - A) s_k
+            (O(n m) per node; the embedded-CSR scatter would OOM)."""
+            sr = s64[:, 0::2, :]
+            si = s64[:, 1::2, :]
+            asr = jax.vmap(a_mm)(sr)
+            asi = jax.vmap(a_mm)(si)
+            bsr = jax.vmap(b_mm)(sr)
+            bsi = jax.vmap(b_mm)(si)
+            zr = z_re[:, None, None]
+            zi = z_im[:, None, None]
+            er = zr * bsr - zi * bsi - asr
+            ei = zr * bsi + zi * bsr - asi
+            rr = by64[None] - er
+            ri = -ei
+            r = jnp.stack([rr, ri], axis=2).reshape(ne, 2 * n, m0)
+            return r
+
+        @jax.jit
+        def resid_acc(s64, dx32, by64):
+            """Accumulate a refinement correction, then fresh residual."""
+            s64 = s64 + dx32.astype(jnp.float64)
+            return s64, resid(s64, by64)
+
+        @jax.jit
+        def combine_gram(s_parts):
+            """q = 2 Re sum_k sigma_k S_k (transpose solves are conjugates
+            for a real pencil — eliminated), plus the f64 whitening Gram."""
+            s64 = s_parts[0].astype(jnp.float64)
+            for p in s_parts[1:]:
+                s64 = s64 + p.astype(jnp.float64)
+            sr = s64[:, 0::2, :]
+            si = s64[:, 1::2, :]
+            q = 2.0 * (
+                (sig_re[:, None, None] * sr).sum(0)
+                - (sig_im[:, None, None] * si).sum(0)
+            )
+            g = dot64(q.T, q)
+            return q, g
+
+        @jax.jit
+        def whiten_rr(q, wmat):
+            """Apply the whitening transform, then the reduced RR blocks."""
+            qw = dot64(q, wmat)
+            aq = dot64(qw.T, a_mm(qw))
+            bq = dot64(qw.T, qw) if self.b_is_ident else dot64(
+                qw.T, b_mm(qw)
+            )
+            return qw, aq, bq
+
+        @jax.jit
+        def ritz(qw, coeff, lam_pad, keep, key):
+            """Ritz vectors, residual norms, warm-restart subspace."""
+            x = dot64(qw, coeff)
+            ax = a_mm(x)
+            bx = x if self.b_is_ident else b_mm(x)
+            rnorm = jnp.linalg.norm(ax - bx * lam_pad[None, :], axis=0)
+            xnorm = jnp.maximum(
+                jnp.linalg.norm(x, axis=0), jnp.finfo(jnp.float64).tiny
+            )
+            fill = jax.random.normal(key, x.shape, dtype=x.dtype)
+            y_next = jnp.where(keep[None, :] > 0, x, fill)
+            return x, rnorm, xnorm, y_next
+
+        progs = {
+            "pre": pre, "resid": resid, "resid_acc": resid_acc,
+            "combine_gram": combine_gram, "whiten_rr": whiten_rr,
+            "ritz": ritz,
+        }
+        self._programs[key] = progs
+        return progs
+
+    def factors_for(self, z_nodes):
+        """Batched shifted factorizations (one program; ijob=10 for every
+        node at once)."""
+        from sparse_linear_tpu.solve import api as solve_api
+        from sparse_linear_tpu.solve import complex_embed as ce
+
+        data_c = (
+            np.asarray(z_nodes)[:, None] * self.union_b_data[None, :]
+            - self.union_a_data[None, :]
+        )
+        data_stack = jnp.asarray(
+            ce.embed_data(data_c, self.eperm_np).astype(np.float32)
+        )
+        return solve_api.factor_batched(
+            self.pattern_r, data_stack, self.symbolic
+        )
+
+
+def _get_pipeline(mat_a, mat_b, backend, dims):
+    key = (_fingerprint(mat_a), _fingerprint(mat_b), backend, dims)
+    pipe = _PIPELINE_CACHE.get(key)
+    if pipe is None:
+        pipe = _RealPencilPipeline(mat_a, mat_b, backend, dims)
+        if len(_PIPELINE_CACHE) >= _PIPELINE_CACHE_MAX:
+            _PIPELINE_CACHE.pop(next(iter(_PIPELINE_CACHE)))
+        _PIPELINE_CACHE[key] = pipe
+    return pipe
+
+
+def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
+    """Driver loop over the cached pipeline.  Returns an EigResult.
+
+    Mirrors the RCI event sequence (Feast.hs:220-232) with the loop owned
+    natively; see the module docstring for the TPU-specific restructuring.
+    """
+    from sparse_linear_tpu.eig.feast import (
+        EigResult, INFO_NO_EIGENVALUES, INFO_NOT_CONVERGED, INFO_OK,
+        INFO_SUBSPACE_TOO_SMALL, _contour, _reduced_geig,
+    )
+    from sparse_linear_tpu.solve import api as solve_api
+
+    emin, emax = float(interval[0]), float(interval[1])
+    n = mat_a.shape[0]
+    pipe = _get_pipeline(mat_a, mat_b, params.backend, params.dims)
+
+    z_nodes, sigma = _contour(emin, emax, params.contour_points)
+    ne = len(z_nodes)
+    factors = pipe.factors_for(z_nodes)
+    progs = pipe.programs(ne, m0, z_nodes, sigma)
+
+    # staged refinement: loop 0 is filter-limited (~1e-6), so plain f32
+    # solves suffice; later loops refine to the f64 floor
+    refine_default = 2
+    refine_n = (params.refine_solves if params.refine_solves is not None
+                else refine_default)
+
+    if guess is not None:
+        y0 = np.asarray(guess, dtype=np.float64)
+        if y0.shape != (n, m0):
+            raise ValueError(f"geigsh: guess must have shape {(n, m0)}")
+        y = jnp.asarray(y0)
+    else:
+        y = jax.random.normal(
+            jax.random.key(params.seed), (n, m0), dtype=jnp.float64
+        )
+
+    lam_scale = max(abs(emin), abs(emax), 1.0)
+    info = INFO_NOT_CONVERGED
+    epsout = np.inf
+    eps_prev = np.inf
+    lam_np = np.zeros((0,))
+    res_np = np.zeros((0,))
+    x_dev = None
+    inside_mask = np.zeros((m0,), dtype=bool)
+    loops_done = 0
+    stalls = 0
+    tiny = np.finfo(np.float64).tiny
+
+    for loop in range(params.max_loops):
+        loops_done = loop + 1
+        # ---- contour filter (ijob=10/11): batched solves + refinement
+        by64, rhs32 = progs["pre"](y)
+        s64 = solve_api.solve_batched(factors, rhs32).astype(jnp.float64)
+        n_ref = 0 if loop == 0 else refine_n
+        parts = [s64]
+        r = None
+        for _ in range(n_ref):
+            if r is None:
+                r = progs["resid"](s64, by64)
+            dx = solve_api.solve_batched(factors, r.astype(jnp.float32))
+            s64, r = progs["resid_acc"](s64, dx, by64)
+            parts = [s64]
+        q, g = progs["combine_gram"](parts)
+
+        # ---- whitening: m0 x m0 spectral inverse square root on host
+        # (subspace is rank-deficient by design — the filter kills the
+        # outside directions; QR/Cholesky break down)
+        g_np = np.asarray(g)
+        w, v = np.linalg.eigh(0.5 * (g_np + g_np.T))
+        floor = max(float(w.max()), 0.0) * np.finfo(np.float64).eps * len(w)
+        wi = 1.0 / np.sqrt(np.maximum(w, max(floor, tiny)))
+        wmat = (v * wi[None, :]) @ v.T
+
+        qw, aq, bq = progs["whiten_rr"](q, jnp.asarray(wmat))
+
+        # ---- reduced m0 x m0 Rayleigh-Ritz on host (Feast.hs:153-154)
+        lam, coeff = _reduced_geig(np.asarray(aq), np.asarray(bq))
+        m_kept = int(coeff.shape[1])
+        coeff_pad = np.zeros((m0, m0), dtype=np.float64)
+        coeff_pad[:, :m_kept] = np.real(coeff)
+        lam_pad = np.zeros((m0,), dtype=np.float64)
+        lam_pad[:m_kept] = np.real(lam)
+        keep = np.zeros((m0,), dtype=np.float64)
+        keep[:m_kept] = 1.0
+
+        x_dev, rnorm_d, xnorm_d, y = progs["ritz"](
+            qw, jnp.asarray(coeff_pad), jnp.asarray(lam_pad),
+            jnp.asarray(keep), jax.random.key(params.seed + loop + 1),
+        )
+        res_all = np.asarray(rnorm_d) / np.maximum(
+            np.asarray(xnorm_d), tiny
+        ) / lam_scale
+        lam_k = lam_pad[:m_kept]
+        res_k = res_all[:m_kept]
+
+        inside_k = (lam_k >= emin) & (lam_k <= emax)
+        m_found = int(inside_k.sum())
+        epsout = float(res_k[inside_k].max()) if m_found else (
+            float(res_k.max()) if m_kept else np.inf
+        )
+        if params.debug:
+            print(f"feast(tpu) loop {loop}: m={m_found}, epsout={epsout:.3e}")
+
+        lam_np, res_np = lam_k[inside_k], res_k[inside_k]
+        inside_mask = np.zeros((m0,), dtype=bool)
+        inside_mask[:m_kept] = inside_k
+
+        if m_found and epsout <= params.tol:
+            info = INFO_OK
+            break
+        if m_found == 0 and loop >= 2:
+            info = INFO_NO_EIGENVALUES
+            break
+        if loop >= 2 and epsout > 0.5 * eps_prev:
+            stalls += 1
+            if stalls >= 2:
+                break
+        else:
+            stalls = 0
+        eps_prev = min(eps_prev, epsout)
+
+    if len(lam_np) == m0:
+        info = INFO_SUBSPACE_TOO_SMALL
+
+    x_np = np.asarray(x_dev)[:, inside_mask] if x_dev is not None else (
+        np.zeros((n, 0))
+    )
+    order = np.argsort(lam_np)
+    return EigResult(
+        values=lam_np[order],
+        vectors=x_np[:, order],
+        n_found=len(lam_np),
+        iterations=loops_done,
+        epsout=epsout,
+        residuals=res_np[order],
+        info=info,
+        subspace=np.asarray(y),
+    )

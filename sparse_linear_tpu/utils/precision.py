@@ -1,21 +1,27 @@
 """Exact f64 matrix products on TPU.
 
-The TPU's f64 emulation routes matrix-matrix contractions through MXU
-passes that truncate the operands to f32: a plain ``a @ b`` in f64 carries
-a ~2.6e-8 relative error on this stack REGARDLESS of the
-``default_matmul_precision`` setting (measured; matrix-VECTOR products on
-the VPU are exact).  That silently floors any f64 algorithm built on
-matmuls (Gram matrices, tall-skinny orthonormalization, Rayleigh-Ritz)
-around 1e-7.
+The TPU's f64 emulation routes matrix contractions through MXU passes whose
+*accumulation* carries f32-level rounding: a plain ``a @ b`` in f64 is exact
+for short contraction dims (measured 2e-15 at k=256) but floors at ~2e-8
+relative error once the contraction dimension reaches a few thousand,
+REGARDLESS of ``default_matmul_precision`` and regardless of double-float
+operand splitting (measured: native 6.1e-8, split-only 5.5e-8 at k=36864).
+That silently floors any f64 algorithm built on tall-skinny matmuls (Gram
+matrices, orthonormalization, Rayleigh-Ritz) around 1e-7.
 
-``dot64`` restores full f64 accuracy with the classic double-float split:
-a = a_hi + a_lo with a_hi = f32(a); each of the three cross products has
-exactly-f32-representable operands, so the truncating matmul loses
-nothing, and the f64 accumulation keeps ~1e-15:
+``dot64`` restores ~1e-14 accuracy by combining TWO transformations:
 
-    a @ b = a_hi b_hi + a_hi b_lo + a_lo b_hi   (+ a_lo b_lo ~ 1e-32)
+1. double-float operand split: a = a_hi + a_lo with a_hi = f32(a), so each
+   cross product has exactly-f32-representable operands (removes operand
+   truncation error),
+2. **chunked accumulation**: the contraction dimension is tiled into
+   <=256-wide chunks contracted as a batched dot_general with
+   ``preferred_element_type=f64`` (each chunk's accumulation is exact at
+   that length — measured), and the per-chunk partial results are summed in
+   true f64 on the VPU (exact adds).
 
-Cost: 3 matmuls + 4 casts.  On CPU (exact f64 matmuls) it passes through.
+Cost: 3 batched matmuls + one chunk-axis reduction.  On CPU (exact f64
+matmuls) it passes through.
 """
 
 from __future__ import annotations
@@ -24,6 +30,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["dot64"]
+
+_CHUNK = 256  # contraction lengths <= this accumulate exactly (measured)
 
 
 def _needs_split(*arrays) -> bool:
@@ -35,24 +43,51 @@ def _needs_split(*arrays) -> bool:
 def dot64(a, b):
     """Exact-f64 ``a @ b`` (2-D x 2-D) on TPU; plain matmul elsewhere.
 
-    The split pieces are contracted as f32 dot_generals with
-    ``preferred_element_type=f64`` — XLA then emulates an exact f64
-    accumulation of exact f32 products (measured 4e-15 vs 2.6e-8 for the
-    native f64 matmul).  Splitting alone is NOT enough: an f64 matmul of
-    the f32-exact pieces still accumulates in the truncating pipeline."""
+    Error measured at 1e-14 relative for contraction dim 36864 (vs 6e-8 for
+    the native f64 matmul and for split-only variants — the MXU accumulates
+    at f32 resolution over long contractions, so the split must be paired
+    with chunked f64 reaccumulation)."""
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     if not _needs_split(a, b):
         return a @ b
-    a_hi32 = a.astype(jnp.float32)
-    a_lo32 = (a - a_hi32.astype(jnp.float64)).astype(jnp.float32)
-    b_hi32 = b.astype(jnp.float32)
-    b_lo32 = (b - b_hi32.astype(jnp.float64)).astype(jnp.float32)
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"dot64: inner dims mismatch {a.shape} @ {b.shape}")
 
-    def mm(p, q):
+    a_hi = a.astype(jnp.float32)
+    a_lo = (a - a_hi.astype(jnp.float64)).astype(jnp.float32)
+    b_hi = b.astype(jnp.float32)
+    b_lo = (b - b_hi.astype(jnp.float64)).astype(jnp.float32)
+
+    if k <= _CHUNK:
+        def mm(p, q):
+            return jax.lax.dot_general(
+                p, q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float64,
+            )
+
+        return (mm(a_hi, b_hi) + mm(a_hi, b_lo)) + mm(a_lo, b_hi)
+
+    nc = -(-k // _CHUNK)
+    pad = nc * _CHUNK - k
+    if pad:
+        a_hi = jnp.pad(a_hi, ((0, 0), (0, pad)))
+        a_lo = jnp.pad(a_lo, ((0, 0), (0, pad)))
+        b_hi = jnp.pad(b_hi, ((0, pad), (0, 0)))
+        b_lo = jnp.pad(b_lo, ((0, pad), (0, 0)))
+    # (m, nc, C) -> chunk-major batched lhs; rhs reshapes contiguously
+    ar_hi = a_hi.reshape(m, nc, _CHUNK).transpose(1, 0, 2)
+    ar_lo = a_lo.reshape(m, nc, _CHUNK).transpose(1, 0, 2)
+    br_hi = b_hi.reshape(nc, _CHUNK, n)
+    br_lo = b_lo.reshape(nc, _CHUNK, n)
+
+    def bmm(p, q):
         return jax.lax.dot_general(
-            p, q, (((1,), (0,)), ((), ())),
+            p, q, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float64,
         )
 
-    return (mm(a_hi32, b_hi32) + mm(a_hi32, b_lo32)) + mm(a_lo32, b_hi32)
+    out = (bmm(ar_hi, br_hi) + bmm(ar_hi, br_lo)) + bmm(ar_lo, br_hi)
+    return out.sum(axis=0)
