@@ -110,7 +110,11 @@ def factor(mat, symbolic: Symbolic | None = None, backend: str = "dense",
     if symbolic.backend == "multifrontal":
         from sparse_linear_tpu.solve import multifrontal
 
-        return multifrontal.factor(mat, symbolic, kind=kind)
+        return multifrontal.factor(
+            mat, symbolic, kind=kind,
+            **{k: v for k, v in opts.items()
+               if k in ("mesh", "batch_axis", "pivot_eps")},
+        )
     raise ValueError(f"unknown backend: {symbolic.backend}")
 
 

@@ -89,6 +89,25 @@ class MFFactors:
         self.dtype = dtype
         self.kind = kind  # "lu" (restricted partial pivoting) | "cholesky"
 
+    @property
+    def n_flagged(self) -> int:
+        """Factorization diagnostics (SURVEY.md §5 failure detection):
+        LU — number of statically perturbed pivots (0 = exact partial
+        pivoting inside every pivot block); Cholesky — number of
+        non-finite factor diagonals (>0 = the matrix was NOT positive
+        definite; re-factor with kind='lu' or check the operator).
+        Host sync on first access."""
+        d = self.blocks.get(-1)
+        if d is None:
+            return 0
+        return int(np.sum(np.asarray(d["n_flag"])))
+
+    @property
+    def breakdown(self) -> bool:
+        """True when the Cholesky path hit a non-SPD pivot (factors contain
+        non-finite blocks and solves will return NaNs)."""
+        return self.kind == "cholesky" and self.n_flagged > 0
+
 
 def _mff_flatten(f):
     keys = sorted(f.blocks.keys())
@@ -367,11 +386,17 @@ def _bucket_factor_cholesky(front, ns_class):
     XLA's TPU Cholesky is 3-7x faster than the pivoted LU at every bucket
     shape (its panel loop is better blocked), and symmetry halves the
     triangular-solve work: g21 = g12^T.  The identity padding rows
-    cholesky to identity, so padded fronts stay inert."""
+    cholesky to identity, so padded fronts stay inert.
+
+    Breakdown (non-SPD input) shows up as non-finite diagonal entries;
+    their count is returned so ``factor`` can REPORT the failure
+    (SolveInfo-style, SURVEY.md §5) instead of silently emitting NaNs."""
     f11 = front[:, :ns_class, :ns_class]
     f12 = front[:, :ns_class, ns_class:]
     f22 = front[:, ns_class:, ns_class:]
     low = jax.vmap(jax.lax.linalg.cholesky)(f11)
+    diag = jnp.diagonal(low, axis1=1, axis2=2)
+    n_bad = jnp.sum(~jnp.isfinite(diag))
     g12 = jax.lax.linalg.triangular_solve(
         low, f12, left_side=True, lower=True, unit_diagonal=False
     )
@@ -379,18 +404,42 @@ def _bucket_factor_cholesky(front, ns_class):
     schur = f22 - jnp.matmul(g21, g12, preferred_element_type=f22.dtype)
     nb = front.shape[0]
     permutation = jnp.tile(jnp.arange(ns_class)[None, :], (nb, 1))
-    return low, permutation, g21, g12, schur
+    return low, permutation, g21, g12, schur, n_bad
 
 
-def _bucket_factor(front, ns_class):
+def _bucket_factor(front, ns_class, pivot_eps: float = 0.0):
     """Batched partial factorization of assembled fronts.
 
-    front: (nb, Ns+Us, Ns+Us).  Returns (lu, perm, g21, g12, schur)."""
+    front: (nb, Ns+Us, Ns+Us).  Returns (lu, perm, g21, g12, schur, npert).
+
+    ``pivot_eps`` > 0 enables **static pivot perturbation** (the
+    SuperLU-dist/MUMPS "GESP" strategy — the TPU-native replacement for
+    UMFPACK's dynamic threshold pivoting, whose data-dependent row swaps
+    across fronts cannot be expressed in a static batched schedule):
+    after the in-block partial-pivoted LU, any |U_ii| below
+    pivot_eps * max|front| is bumped to that threshold (sign preserved).
+    The factorization then stays bounded for indefinite/unsymmetric
+    systems, and the O(pivot_eps) backward-error is removed by iterative
+    refinement or the preconditioned-GMRES fallback in
+    solve.api.solve_refined.  ``npert`` counts perturbed pivots for
+    SolveInfo reporting."""
     f11 = front[:, :ns_class, :ns_class]
     f12 = front[:, :ns_class, ns_class:]
     f21 = front[:, ns_class:, :ns_class]
     f22 = front[:, ns_class:, ns_class:]
     lu, _, permutation = jax.vmap(jax.lax.linalg.lu)(f11)
+    npert = jnp.zeros((), jnp.int32)
+    if pivot_eps:
+        diag = jnp.diagonal(lu, axis1=1, axis2=2)
+        scale = jnp.max(jnp.abs(front), axis=(1, 2), keepdims=False)
+        thresh = (pivot_eps * jnp.maximum(scale, jnp.finfo(front.dtype).tiny)
+                  )[:, None]
+        small = jnp.abs(diag) < thresh
+        sgn = jnp.where(diag >= 0, 1.0, -1.0).astype(diag.dtype)
+        new_diag = jnp.where(small, sgn * thresh, diag)
+        npert = jnp.sum(small).astype(jnp.int32)
+        ii = jnp.arange(ns_class)
+        lu = lu.at[:, ii, ii].set(new_diag)
     # L^{-1} P F12
     pf12 = jnp.take_along_axis(f12, permutation[:, :, None], axis=1)
     g12 = jax.vmap(
@@ -406,7 +455,7 @@ def _bucket_factor(front, ns_class):
     )(lu, jnp.swapaxes(f21, 1, 2))
     g21 = jnp.swapaxes(g21, 1, 2)
     schur = f22 - jnp.matmul(g21, g12, preferred_element_type=f22.dtype)
-    return lu, permutation, g21, g12, schur
+    return lu, permutation, g21, g12, schur, npert
 
 
 def _device_maps(symbolic: MFSymbolic):
@@ -438,12 +487,15 @@ def _device_maps(symbolic: MFSymbolic):
 
 
 def _build_factor_fn(symbolic: MFSymbolic, kind: str = "lu", mesh=None,
-                     batch_axis: str | None = None):
+                     batch_axis: str | None = None,
+                     pivot_eps: float = 0.0):
     flat = symbolic.schedule["flat"]
     level_buckets = symbolic.schedule["level_buckets"]
     height = symbolic.schedule["height"]
-    bucket_fn = _bucket_factor_cholesky if kind == "cholesky" \
-        else _bucket_factor
+    if kind == "cholesky":
+        bucket_fn = _bucket_factor_cholesky
+    else:
+        bucket_fn = partial(_bucket_factor, pivot_eps=pivot_eps)
 
     if mesh is not None:
         # multi-chip multifrontal: fronts of a bucket are independent, so
@@ -477,6 +529,9 @@ def _build_factor_fn(symbolic: MFSymbolic, kind: str = "lu", mesh=None,
         dtype = a_data.dtype
         blocks = {}
         updates = {}
+        # diagnostics: perturbed-pivot count (LU/GESP) or non-finite count
+        # (Cholesky breakdown) accumulated across buckets
+        n_flag = jnp.zeros((), jnp.int32)
         for lvl in range(height + 1):
             for bidx in level_buckets[lvl]:
                 b = flat[bidx]
@@ -517,18 +572,23 @@ def _build_factor_fn(symbolic: MFSymbolic, kind: str = "lu", mesh=None,
                     pad_mask.astype(dtype)
                 )
 
-                lu, permutation, g21, g12, schur = bucket_fn(front, ns_c)
+                lu, permutation, g21, g12, schur, nf = bucket_fn(
+                    front, ns_c
+                )
+                n_flag = n_flag + nf.astype(jnp.int32)
                 blocks[bidx] = {
                     "lu": lu, "perm": permutation, "g21": g21, "g12": g12,
                 }
                 updates[bidx] = shard(schur, nb)
+        blocks[-1] = {"n_flag": n_flag}  # diagnostics pseudo-bucket
         return blocks
 
     return jax.jit(run)
 
 
 def factor(mat: CSR, symbolic: MFSymbolic, kind: str = "lu",
-           mesh=None, batch_axis: str | None = None) -> MFFactors:
+           mesh=None, batch_axis: str | None = None,
+           pivot_eps: float | None = None) -> MFFactors:
     """Numeric factorization over the symbolic schedule (one compiled XLA
     program; compile cost amortized across factorizations of the pattern).
 
@@ -552,11 +612,13 @@ def factor(mat: CSR, symbolic: MFSymbolic, kind: str = "lu",
         )
     dm = _device_maps(symbolic)
     a_data = jnp.asarray(mat.data)
+    peps = float(pivot_eps) if pivot_eps else 0.0
     fkey = (_sym_cache_key(symbolic), "factor", str(a_data.dtype), kind,
-            id(mesh) if mesh is not None else None, batch_axis)
+            id(mesh) if mesh is not None else None, batch_axis, peps)
     if fkey not in _PROGRAM_CACHE:
         _PROGRAM_CACHE[fkey] = _build_factor_fn(symbolic, kind, mesh=mesh,
-                                                batch_axis=batch_axis)
+                                                batch_axis=batch_axis,
+                                                pivot_eps=peps)
     blocks = _PROGRAM_CACHE[fkey](a_data, dm)
     return MFFactors(symbolic, blocks, a_data.dtype, kind=kind)
 

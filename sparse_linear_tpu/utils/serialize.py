@@ -57,6 +57,7 @@ def save_factors(path, factors):
             "relax_frac": sym.relax[1],
             "pattern_key": np.asarray(sym.pattern_key, dtype=np.int64),
             "bucket_ids": np.asarray(sorted(factors.blocks.keys())),
+            "kind": factors.kind,
         }
         for bidx, blk in factors.blocks.items():
             for name, arr in blk.items():
@@ -98,12 +99,16 @@ def load_factors(path, mat=None):
             blocks = {}
             dtype = None
             for bidx in z["bucket_ids"].tolist():
+                if int(bidx) == -1:  # diagnostics pseudo-bucket (n_flag)
+                    blocks[-1] = {"n_flag": jnp.asarray(z["b-1__n_flag"])}
+                    continue
                 blk = {}
                 for name in ("lu", "perm", "g21", "g12"):
                     blk[name] = jnp.asarray(z[f"b{bidx}__{name}"])
                 blocks[int(bidx)] = blk
                 dtype = blk["lu"].dtype
-            return mf.MFFactors(sym, blocks, dtype)
+            kind = str(z["kind"]) if "kind" in z else "lu"
+            return mf.MFFactors(sym, blocks, dtype, kind=kind)
         raise ValueError(f"unknown backend in checkpoint: {backend}")
 
 
