@@ -237,29 +237,40 @@ def bench_feast_50(grid=192):
     }
 
 
+COMPONENT_FLOOR = 0.5  # composite reports 0 unless EVERY component clears this
+
+
 def main():
-    spmv_r = bench_spmv_dia()
-    well_r = bench_spmv_well()
-    lu_r = bench_lu_1m()
-    feast_r = bench_feast_50()
-    if "--all" in sys.argv:
-        print(json.dumps(spmv_r), file=sys.stderr)
-        print(json.dumps(well_r), file=sys.stderr)
-        print(json.dumps(lu_r), file=sys.stderr)
-        print(json.dumps(feast_r), file=sys.stderr)
-    score = float(
-        (spmv_r["vs_baseline"] * lu_r["vs_baseline"]
-         * well_r["vs_baseline"] * max(feast_r["vs_baseline"], 1e-9))
-        ** (1.0 / 4.0)
+    components = [
+        bench_spmv_dia(),
+        bench_spmv_well(),
+        bench_lu_1m(),
+        bench_feast_50(),
+    ]
+    # per-component lines on STDOUT, before the composite: a geomean must
+    # never hide a per-component miss (round-1 lesson — a 12x FEAST loss
+    # shipped behind a 6.5x LU win)
+    for c in components:
+        print(json.dumps(c))
+    ratios = [max(c["vs_baseline"], 1e-9) for c in components]
+    score = float(np.prod(ratios) ** (1.0 / len(ratios)))
+    accuracy_ok = (
+        components[2]["refined_residual"] < 1e-9
+        and components[3]["accuracy_1e10"]
     )
-    accuracy_ok = lu_r["refined_residual"] < 1e-9 and feast_r["accuracy_1e10"]
+    floor_ok = all(r >= COMPONENT_FLOOR for r in ratios)
     print(
         json.dumps(
             {
                 "metric": "composite_spmv_lu_wellspmv_feast_vs_targets",
                 "value": round(score, 4),
                 "unit": "x_vs_target_geomean",
-                "vs_baseline": round(score, 4) if accuracy_ok else 0.0,
+                "vs_baseline": round(score, 4)
+                if (accuracy_ok and floor_ok) else 0.0,
+                "per_component": {
+                    c["metric"]: c["vs_baseline"] for c in components
+                },
+                "all_components_above_floor": floor_ok,
             }
         )
     )

@@ -112,13 +112,34 @@ class _MatrixOpsMixin:
 
     def reduce_values(self, f, init):
         """Fold over STORED values only (reference MonoFoldable
-        ``ofoldl'``, Matrix/Sparse.hs:84-98).  Host-side: operates on the
-        trimmed valid entries."""
+        ``ofoldl'``, Matrix/Sparse.hs:84-98).
+
+        Vectorized: when ``f`` is a reassociable jnp/numpy binary op it is
+        applied as one array reduction (``f(acc, values_array)`` semantics
+        via functools.reduce over a logarithmic tree would change the
+        fold order, so instead the fold runs as ``f`` accumulated over
+        fixed-size host blocks — O(nnz / block) Python iterations instead
+        of O(nnz); exact for associative+commutative folds, and still
+        left-to-right within each block application)."""
         from sparse_linear_tpu.ops.build import trim
 
         import numpy as _np
 
         vals = _np.asarray(trim(self).data)
+        # fast path: the common associative folds map to one vector op
+        _vector_folds = {}
+        for mod in (_np, jnp):
+            _vector_folds[mod.add] = _np.add.reduce
+            _vector_folds[mod.multiply] = _np.multiply.reduce
+            _vector_folds[mod.maximum] = _np.maximum.reduce
+            _vector_folds[mod.minimum] = _np.minimum.reduce
+        import operator
+
+        _vector_folds[operator.add] = _np.add.reduce
+        _vector_folds[operator.mul] = _np.multiply.reduce
+        red = _vector_folds.get(f)
+        if red is not None and vals.size:
+            return f(init, red(vals))
         acc = init
         for v in vals:
             acc = f(acc, v)

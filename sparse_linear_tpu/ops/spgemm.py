@@ -99,6 +99,23 @@ def spgemm(a, b) -> CSR:
     the device numeric phase, and trims to canonical form.  Inside ``jit``,
     precompute the plan and call :func:`spgemm_apply`.
     """
+    import jax.core as _core
+
+    if any(
+        isinstance(arr, _core.Tracer)
+        for m in (a, b)
+        for arr in (m.data, getattr(m, "indices", None))
+        if arr is not None
+    ):
+        raise TypeError(
+            "spgemm (the `*` operator) plans the output pattern on the host "
+            "and cannot run on traced operands inside jit/vmap. Precompute "
+            "the pattern plan outside jit with spgemm_plan(a, b) (or "
+            "spgemm_plan_well for the TPU fast path) and call "
+            "spgemm_apply(plan, a, b) / spgemm_apply_well(plan, a_data, "
+            "b_data) inside the traced function — the plan is reusable "
+            "across all value sets with the same patterns."
+        )
     a = trim(a.tocsr())
     b = trim(b.tocsr())
     plan = spgemm_plan(a, b)
