@@ -287,8 +287,6 @@ def shard_rows(mat, mesh: Mesh, axis: str = "rows", fmt: str = "auto",
         from sparse_linear_tpu.formats.select import recommend_format
 
         fmt = recommend_format(csr)
-        if fmt == "well" and np.iscomplexobj(np.asarray(csr.data)):
-            fmt = "ell"  # complex sharded WELL pending
         if fmt not in ("dia", "ell", "bsr", "well"):
             fmt = "ell"
     if fmt == "dia":
@@ -385,7 +383,8 @@ class ShardedWELL:
 
     bases: jax.Array  # (ndev, nv_local, c_max) int32
     idx: jax.Array    # (ndev, nv_local, c_max, 8, 128) int32
-    vals: jax.Array   # (ndev, nv_local, c_max, 8, 128)
+    vals: jax.Array   # (ndev, nv_local, c_max, 8, 128) real part (or values)
+    vals_im: object   # None for real matrices; imaginary plane otherwise
     shape: tuple
     c_max: int
     axis: str
@@ -439,16 +438,18 @@ def shard_well_rows(mat, mesh: Mesh, axis: str = "rows") -> ShardedWELL:
     bases = np.stack([pad(p, "bases") for p in packs])
     idx = np.stack([pad(p, "idx") for p in packs])
     vals = np.stack([pad(p, "vals") for p in packs])
-    if is_c:
-        raise NotImplementedError(
-            "shard_well_rows: complex sharded WELL pending; use fmt='ell'"
-        )
+    # complex: the two real planes share one packing (same bases/idx); the
+    # sharded kernel runs one real pass per (A-plane, x-plane) pair
+    vals_im = (np.stack([pad(p, "vals_im") for p in packs]) if is_c
+               else None)
     sh3 = NamedSharding(mesh, P(axis, None, None))
     sh5 = NamedSharding(mesh, P(axis, None, None, None, None))
     return ShardedWELL(
         bases=jax.device_put(bases, sh3),
         idx=jax.device_put(idx, sh5),
         vals=jax.device_put(vals, sh5),
+        vals_im=(None if vals_im is None
+                 else jax.device_put(vals_im, sh5)),
         shape=(nr, nc),
         c_max=cm,
         axis=axis,
@@ -466,21 +467,52 @@ def _sharded_well_spmv(a: ShardedWELL, xp, mesh, nc, nr, interpret):
     # result back to the slab
     nv_pack = int(a.bases.shape[1])
     rows_local = max(-(-(-(-nr // 1024)) // ndev), 1) * 1024
+    has_ai = a.vals_im is not None
+    has_xi = jnp.iscomplexobj(xp)
+    rdtype = jnp.real(jnp.zeros((), a.vals.dtype)).dtype
 
-    def kernel(bases, idx, vals, x_local):
-        x_full = jax.lax.all_gather(x_local[0], axis, tiled=True)
+    def _local_spmv(bases, idx, vals, x_full):
         local = WELL(
-            bases=bases[0], idx=idx[0], vals=vals[0], vals_im=None,
+            bases=bases, idx=idx, vals=vals, vals_im=None,
             shape=(nv_pack * 1024, nc), c_max=a.c_max, fill=1.0,
         )
-        y = well_spmv(local, x_full[:nc], interpret=interpret)
-        return y[:rows_local][None]
+        return well_spmv(local, x_full[:nc], interpret=interpret)
+
+    def kernel(bases, idx, vals, *rest):
+        rest = list(rest)
+        vals_im = rest.pop(0)[0] if has_ai else None
+        xr_full = jax.lax.all_gather(rest[0][0], axis, tiled=True)
+        xi_full = (jax.lax.all_gather(rest[1][0], axis, tiled=True)
+                   if has_xi else None)
+        y_re = _local_spmv(bases[0], idx[0], vals[0], xr_full)
+        y_im = jnp.zeros_like(y_re)
+        if has_xi:
+            y_im = y_im + _local_spmv(bases[0], idx[0], vals[0], xi_full)
+        if has_ai:
+            y_im = y_im + _local_spmv(bases[0], idx[0], vals_im, xr_full)
+            if has_xi:
+                y_re = y_re - _local_spmv(bases[0], idx[0], vals_im, xi_full)
+        y2 = jnp.stack([y_re[:rows_local], y_im[:rows_local]], axis=0)
+        return y2[None]
+
+    args = [a.bases, a.idx, a.vals]
+    if has_ai:
+        args.append(a.vals_im)
+    args.append(jnp.real(xp).astype(rdtype))
+    if has_xi:
+        args.append(jnp.imag(xp).astype(rdtype))
 
     # check_vma=False: pallas_call does not yet annotate varying-mesh-axes
     f = jax.shard_map(
         kernel, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis),
+        in_specs=tuple(P(axis) for _ in args),
+        out_specs=P(axis, None),
         check_vma=False,
     )
-    return f(a.bases, a.idx, a.vals, xp).reshape(-1)[:nr]
+    y2 = f(*args)  # (ndev, 2, rows_local)
+    y_re = y2[:, 0].reshape(-1)[:nr]
+    if not (has_ai or has_xi):
+        return y_re
+    y_im = y2[:, 1].reshape(-1)[:nr]
+    cdtype = jnp.complex128 if rdtype == jnp.float64 else jnp.complex64
+    return (y_re + 1j * y_im).astype(cdtype)

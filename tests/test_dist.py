@@ -148,21 +148,29 @@ def test_shard_rows_auto_picks_dia_for_stencil(mesh):
     )
 
 
-def test_sharded_well_spmv(mesh):
+def test_sharded_well_spmv(mesh, dtype):
     """Row-sharded WELL (in-register-gather kernel under shard_map) matches
-    the dense product; auto routing picks it for real unstructured patterns."""
+    the dense product for real AND complex values (the two complex planes
+    share one packing; one real pass per plane pair)."""
     import sparse_linear_tpu as sl
     from sparse_linear_tpu.dist.spmv import ShardedWELL, shard_rows, spmv_sharded
 
     rng = np.random.default_rng(11)
-    nr, nc = 5000, 4200
-    n = 60000
+    if np.issubdtype(dtype, np.complexfloating):
+        # interpret-mode kernel runs 4 real passes for complex: keep small
+        nr, nc, n = 2200, 1800, 20000
+    else:
+        nr, nc, n = 5000, 4200, 60000
     rows = rng.integers(0, nr, size=n)
     cols = rng.integers(0, nc, size=n)
-    a = sl.from_triples((nr, nc), rows, cols, rng.standard_normal(n)).tocsr()
+    vals = rng.standard_normal(n)
+    x = rng.standard_normal(nc)
+    if np.issubdtype(dtype, np.complexfloating):
+        vals = vals + 1j * rng.standard_normal(n)
+        x = x + 1j * rng.standard_normal(nc)
+    a = sl.from_triples((nr, nc), rows, cols, vals.astype(dtype)).tocsr()
     ash = shard_rows(a, mesh, fmt="well")
     assert isinstance(ash, ShardedWELL)
-    x = rng.standard_normal(nc)
     y = spmv_sharded(ash, jnp.asarray(x), mesh)
     import scipy.sparse as sp
 
@@ -171,3 +179,23 @@ def test_sharded_well_spmv(mesh):
         shape=a.shape,
     )
     np.testing.assert_allclose(np.asarray(y), As @ x, atol=1e-10)
+
+
+def test_sharded_well_spmv_mixed_real_complex(mesh):
+    """Real sharded WELL times a complex vector (the FEAST contour case)."""
+    import sparse_linear_tpu as sl
+    from sparse_linear_tpu.dist.spmv import shard_rows, spmv_sharded
+
+    rng = np.random.default_rng(3)
+    nr, nc = 1500, 1500
+    n = 15000
+    rows = rng.integers(0, nr, size=n)
+    cols = rng.integers(0, nc, size=n)
+    a = sl.from_triples(
+        (nr, nc), rows, cols, rng.standard_normal(n)
+    ).tocsr()
+    x = rng.standard_normal(nc) + 1j * rng.standard_normal(nc)
+    ash = shard_rows(a, mesh, fmt="well")
+    y = spmv_sharded(ash, jnp.asarray(x), mesh)
+    ref = np.asarray(a.todense()) @ x
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-10)
