@@ -28,10 +28,20 @@ Runs on the default accelerator (the real TPU chip under the driver).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compilation cache: the cold multifrontal/FEAST pipelines cost
+# minutes of (remote) XLA compile per process; cache them across runs
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 

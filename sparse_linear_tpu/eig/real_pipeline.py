@@ -171,6 +171,10 @@ class _RealPencilPipeline:
 
         # jitted per-(ne, m0) programs, built lazily
         self._programs: dict = {}
+        # shifted factorizations keyed by the contour nodes: re-solving the
+        # same interval (warm restart, repeated calls) skips the batched
+        # refactorization — the values are already part of the pipeline key
+        self._factors: dict = {}
 
     # -- device programs -------------------------------------------------
 
@@ -240,17 +244,19 @@ class _RealPencilPipeline:
 
         @jax.jit
         def whiten_rr(q, wmat):
-            """Apply the whitening transform, then the reduced RR blocks."""
+            """Apply the whitening transform, then the reduced RR blocks
+            (stacked: the host pulls both in ONE tunnel round trip)."""
             qw = dot64(q, wmat)
             aq = dot64(qw.T, a_mm(qw))
             bq = dot64(qw.T, qw) if self.b_is_ident else dot64(
                 qw.T, b_mm(qw)
             )
-            return qw, aq, bq
+            return qw, jnp.stack([aq, bq])
 
         @jax.jit
         def ritz(qw, coeff, lam_pad, keep, key):
-            """Ritz vectors, residual norms, warm-restart subspace."""
+            """Ritz vectors, residual/x norms (stacked — one pull), and the
+            warm-restart subspace."""
             x = dot64(qw, coeff)
             ax = a_mm(x)
             bx = x if self.b_is_ident else b_mm(x)
@@ -260,7 +266,7 @@ class _RealPencilPipeline:
             )
             fill = jax.random.normal(key, x.shape, dtype=x.dtype)
             y_next = jnp.where(keep[None, :] > 0, x, fill)
-            return x, rnorm, xnorm, y_next
+            return x, jnp.stack([rnorm, xnorm]), y_next
 
         progs = {
             "pre": pre, "resid": resid, "resid_acc": resid_acc,
@@ -272,7 +278,12 @@ class _RealPencilPipeline:
 
     def factors_for(self, z_nodes):
         """Batched shifted factorizations (one program; ijob=10 for every
-        node at once)."""
+        node at once).  Cached per contour: the A/B values are part of the
+        pipeline cache key, so identical z_nodes ⇒ identical factors."""
+        zkey = hash(np.asarray(z_nodes).tobytes())
+        fac = self._factors.get(zkey)
+        if fac is not None:
+            return fac
         from sparse_linear_tpu.solve import api as solve_api
         from sparse_linear_tpu.solve import complex_embed as ce
 
@@ -283,9 +294,13 @@ class _RealPencilPipeline:
         data_stack = jnp.asarray(
             ce.embed_data(data_c, self.eperm_np).astype(np.float32)
         )
-        return solve_api.factor_batched(
+        fac = solve_api.factor_batched(
             self.pattern_r, data_stack, self.symbolic
         )
+        if len(self._factors) >= 4:
+            self._factors.pop(next(iter(self._factors)))
+        self._factors[zkey] = fac
+        return fac
 
 
 def _get_pipeline(mat_a, mat_b, backend, dims):
@@ -311,14 +326,28 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
     )
     from sparse_linear_tpu.solve import api as solve_api
 
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _tick(label):
+        nonlocal _t0
+        if params.debug:
+            t = _time.perf_counter()
+            print(f"feast(tpu)   {label}: {t - _t0:.4f}s")
+            _t0 = t
+
     emin, emax = float(interval[0]), float(interval[1])
     n = mat_a.shape[0]
     pipe = _get_pipeline(mat_a, mat_b, params.backend, params.dims)
+    _tick("pipeline")
 
     z_nodes, sigma = _contour(emin, emax, params.contour_points)
     ne = len(z_nodes)
     factors = pipe.factors_for(z_nodes)
+    _tick("factors")
     progs = pipe.programs(ne, m0, z_nodes, sigma)
+    _tick("programs")
 
     # staged refinement: loop 0 is filter-limited (~1e-6), so plain f32
     # solves suffice; later loops refine to the f64 floor
@@ -350,6 +379,7 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
 
     for loop in range(params.max_loops):
         loops_done = loop + 1
+        _t0 = _time.perf_counter()
         # ---- contour filter (ijob=10/11): batched solves + refinement
         by64, rhs32 = progs["pre"](y)
         s64 = solve_api.solve_batched(factors, rhs32).astype(jnp.float64)
@@ -363,6 +393,7 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
             s64, r = progs["resid_acc"](s64, dx, by64)
             parts = [s64]
         q, g = progs["combine_gram"](parts)
+        _tick(f"loop{loop} filter+gram")
 
         # ---- whitening: m0 x m0 spectral inverse square root on host
         # (subspace is rank-deficient by design — the filter kills the
@@ -372,11 +403,15 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
         floor = max(float(w.max()), 0.0) * np.finfo(np.float64).eps * len(w)
         wi = 1.0 / np.sqrt(np.maximum(w, max(floor, tiny)))
         wmat = (v * wi[None, :]) @ v.T
+        _tick(f"loop{loop} whiten(host)")
 
-        qw, aq, bq = progs["whiten_rr"](q, jnp.asarray(wmat))
+        qw, ab = progs["whiten_rr"](q, jnp.asarray(wmat))
+        _tick(f"loop{loop} whiten_rr")
 
         # ---- reduced m0 x m0 Rayleigh-Ritz on host (Feast.hs:153-154)
-        lam, coeff = _reduced_geig(np.asarray(aq), np.asarray(bq))
+        ab_np = np.asarray(ab)
+        lam, coeff = _reduced_geig(ab_np[0], ab_np[1])
+        _tick(f"loop{loop} reduced_rr(host)")
         m_kept = int(coeff.shape[1])
         coeff_pad = np.zeros((m0, m0), dtype=np.float64)
         coeff_pad[:, :m_kept] = np.real(coeff)
@@ -385,13 +420,13 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
         keep = np.zeros((m0,), dtype=np.float64)
         keep[:m_kept] = 1.0
 
-        x_dev, rnorm_d, xnorm_d, y = progs["ritz"](
+        x_dev, norms_d, y = progs["ritz"](
             qw, jnp.asarray(coeff_pad), jnp.asarray(lam_pad),
             jnp.asarray(keep), jax.random.key(params.seed + loop + 1),
         )
-        res_all = np.asarray(rnorm_d) / np.maximum(
-            np.asarray(xnorm_d), tiny
-        ) / lam_scale
+        norms = np.asarray(norms_d)
+        res_all = norms[0] / np.maximum(norms[1], tiny) / lam_scale
+        _tick(f"loop{loop} ritz")
         lam_k = lam_pad[:m_kept]
         res_k = res_all[:m_kept]
 
@@ -424,17 +459,23 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
     if len(lam_np) == m0:
         info = INFO_SUBSPACE_TOO_SMALL
 
-    x_np = np.asarray(x_dev)[:, inside_mask] if x_dev is not None else (
-        np.zeros((n, 0))
-    )
+    # vectors/subspace stay DEVICE-RESIDENT (jax arrays): pulling the
+    # (n, m0) f64 block through the host tunnel costs seconds at FEAST
+    # scale; consumers np.asarray() lazily if they want host copies.
     order = np.argsort(lam_np)
+    if x_dev is not None and inside_mask.any():
+        sel = jnp.asarray(np.nonzero(inside_mask)[0][order])
+        vectors = x_dev[:, sel]
+    else:
+        vectors = jnp.zeros((n, 0))
+    _tick("result")
     return EigResult(
         values=lam_np[order],
-        vectors=x_np[:, order],
+        vectors=vectors,
         n_found=len(lam_np),
         iterations=loops_done,
         epsout=epsout,
         residuals=res_np[order],
         info=info,
-        subspace=np.asarray(y),
+        subspace=y,
     )

@@ -30,6 +30,11 @@ import jax  # noqa: E402
 if _platform == "cpu":
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compilation cache: cuts repeat-run compile cost (esp. the
+# on-TPU smoke suite, where cold kernels compile through a remote tunnel)
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
