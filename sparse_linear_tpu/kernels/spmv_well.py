@@ -123,67 +123,88 @@ def _spmm_kernel(bases_ref, x_ref, idx_ref, vals_ref, o_ref, *, c_max: int,
     """Multi-RHS WELL kernel: the index planes of each chunk are loaded once
     and reused by every RHS column of the tile (the FEAST ijob=30/40 hot op,
     reference Feast.hs:203-208, at block width m0)."""
-    step_v = pl.program_id(0)
+    step_v = pl.program_id(1)
     out_dtype = o_ref.dtype
     for b in range(vb):
-        for t in range(mt):
-            acc = jnp.zeros((8, _LANES), out_dtype)
-            for c in range(c_max):
-                base = bases_ref[(step_v * vb + b) * c_max + c]
+        accs = [jnp.zeros((8, _LANES), out_dtype) for _ in range(mt)]
+        for c in range(c_max):
+            # chunk metadata decoded ONCE, reused by all mt resident columns
+            base = bases_ref[(step_v * vb + b) * c_max + c]
+            packed = idx_ref[b, c]
+            hi = packed >> 7
+            lo = packed & 127
+            val = vals_ref[b, c]
+            for t in range(mt):
                 w = x_ref[t, pl.ds(base, 8), :]
-                packed = idx_ref[b, c]
-                p = _gather_sublanes(w, packed >> 7)
-                g = _gather_lanes(p, packed & 127)
-                acc = acc + vals_ref[b, c] * g
-            o_ref[t, pl.ds(b * 8, 8), :] = acc
+                p = _gather_sublanes(w, hi)
+                g = _gather_lanes(p, lo)
+                accs[t] = accs[t] + val * g
+        for t in range(mt):
+            o_ref[t, pl.ds(b * 8, 8), :] = accs[t]
+
+
+# VMEM budget for the resident X tile (bytes).  The gather windows may land
+# anywhere in a column, so a whole zero-padded column must sit in VMEM; the
+# RHS tile height adapts to fit (double-buffered by Pallas).
+_X_TILE_BUDGET = 40 * 2 ** 20
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "vb", "mt"))
-def _well_spmm_real(a, x, interpret=False, vb=4, mt=8):
+def _well_spmm_real(a, x, interpret=False, vb=8, mt=8):
     """Y = A @ X for WELL storage and dense real X (nc, m).
 
-    Grid (vreg tiles, RHS tiles) with the RHS axis minor: the chunk
-    index/value planes of a vreg tile stay VMEM-resident across all RHS
-    tiles, so the A stream is read once and the extra cost per RHS column
-    is just the two in-register gathers + fma."""
+    Grid (RHS tiles, vreg tiles) with the vreg axis minor: the X tile stays
+    VMEM-resident across the whole A sweep (fetched once per RHS tile), and
+    each vreg tile's chunk index/value planes are shared by the mt resident
+    RHS columns — the A stream is read ceil(m/mt) times total, so the tile
+    height is made as large as the VMEM budget allows."""
     nr, nc = a.shape
     nv, cm = a.bases.shape
     m = x.shape[1]
     while nv % vb:
         vb //= 2
     vb = max(vb, 1)
-    m_pad = -(-m // mt) * mt
     nc_pad = max(-(-nc // _VREG_ROWS) * _VREG_ROWS, _VREG_ROWS)
+    itemsize = jnp.dtype(a.vals.dtype).itemsize
+    col_bytes = (nc_pad + _VREG_ROWS) * itemsize
+    mt = max(1, min(mt, _X_TILE_BUDGET // max(col_bytes, 1)))
+    m_pad = -(-m // mt) * mt
     # windows may start in the last (partial) vreg of x: pad one extra vreg
     x2 = jnp.pad(
         x.T.astype(a.vals.dtype),
         ((0, m_pad - m), (0, nc_pad + _VREG_ROWS - nc)),
     ).reshape(m_pad, -1, _LANES)
 
-    grid = (nv // vb, m_pad // mt)
+    grid = (m_pad // mt, nv // vb)
     f = pl.pallas_call(
         functools.partial(_spmm_kernel, c_max=cm, vb=vb, mt=mt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((mt,) + x2.shape[1:], lambda v, t, s: (t, _I0, _I0)),
+                pl.BlockSpec((mt,) + x2.shape[1:],
+                             lambda t, v, s: (t, _I0, _I0)),
                 pl.BlockSpec((vb, cm, 8, _LANES),
-                             lambda v, t, s: (v, _I0, _I0, _I0)),
+                             lambda t, v, s: (v, _I0, _I0, _I0)),
                 pl.BlockSpec((vb, cm, 8, _LANES),
-                             lambda v, t, s: (v, _I0, _I0, _I0)),
+                             lambda t, v, s: (v, _I0, _I0, _I0)),
             ],
             out_specs=pl.BlockSpec((mt, vb * 8, _LANES),
-                                   lambda v, t, s: (t, v, _I0)),
+                                   lambda t, v, s: (t, v, _I0)),
         ),
         out_shape=jax.ShapeDtypeStruct((m_pad, nv * 8, _LANES), a.vals.dtype),
+        # the resident X tile (+ double buffering) exceeds Mosaic's 16 MB
+        # default scoped-vmem budget at large nc; the chip has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20,
+        ),
         interpret=interpret,
     )
     y2 = f(a.bases.reshape(-1), x2, a.idx, a.vals)
     return y2.reshape(m_pad, -1)[:m, :nr].T
 
 
-def well_spmm(a, x, interpret: bool | None = None, vb: int = 4, mt: int = 8):
+def well_spmm(a, x, interpret: bool | None = None, vb: int = 8, mt: int = 8):
     """Y = A @ X for WELL storage, X dense (nc, m).  Real dtypes on TPU
     (32-bit); complex and f64 compose from real plane passes exactly like
     :func:`well_spmv`."""
