@@ -56,6 +56,18 @@ __all__ = [
 class SolveInfo(NamedTuple):
     residual_norm: jax.Array
     refinement_steps: int
+    tol: float = float("nan")
+
+    @property
+    def converged(self) -> bool:
+        """True when the refined RELATIVE residual is finite and met the
+        requested tolerance (SURVEY.md §5 failure detection: NaN/inf or a
+        large residual means the factorization broke down — singular
+        operator, indefinite input through the Cholesky path — or the
+        refinement stalled, and the solution must not be trusted)."""
+        v = float(jnp.asarray(self.residual_norm))
+        gate = self.tol if np.isfinite(self.tol) else 1e-6
+        return bool(np.isfinite(v) and v <= gate)
 
 
 @pytree_dataclass(meta_fields=("n", "backend", "meta"))
@@ -225,7 +237,8 @@ def solve_refined(factors: Factors, mat, b, trans: bool = False,
             break
         dx = solve(factors, r.astype(b.dtype), trans=trans)
         x = x + dx.astype(hi)
-    return x, SolveInfo(residual_norm=rnorm, refinement_steps=steps)
+    return x, SolveInfo(residual_norm=rnorm, refinement_steps=steps,
+                        tol=float(tol))
 
 
 def residual_norm(mat, x, b, trans: bool = False):

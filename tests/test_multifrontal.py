@@ -257,6 +257,33 @@ def test_cholesky_breakdown_reported(rng):
     assert not f_ok.breakdown
 
 
+def test_solve_info_converged_flag(rng):
+    """SolveInfo.converged distinguishes a healthy refined solve from a
+    breakdown (NaN residual) on a singular operator."""
+    g = 12
+    a = poisson_2d(g, dtype=np.float64)
+    sym = mf.analyze(a, dims=(g, g))
+    b = rng.standard_normal(g * g)
+    f_ok = mf.factor(a, sym)
+    _, info_ok = solve_api.solve_refined(f_ok, a, jnp.asarray(b))
+    assert info_ok.converged
+    g2 = 32  # sigma=2 is an exact eigenvalue of the 32^2 Poisson operator
+    a2_32 = poisson_2d(g2, dtype=np.float32)
+    a2_64 = poisson_2d(g2, dtype=np.float64)
+    ash32 = sl.lin(
+        1.0, a2_32, -2.0, sl.eye(g2 * g2, dtype=jnp.float32)
+    ).tocsr()
+    ash64 = sl.lin(
+        1.0, a2_64, -2.0, sl.eye(g2 * g2, dtype=jnp.float64)
+    ).tocsr()
+    f_bad = mf.factor(ash32, mf.analyze(ash32, dims=(g2, g2)))
+    _, info_bad = solve_api.solve_refined(
+        f_bad, ash64, jnp.asarray(rng.standard_normal(g2 * g2)),
+        max_iter=6,
+    )
+    assert not info_bad.converged
+
+
 def test_pivot_eps_flags_near_singular(rng):
     """Static pivot perturbation fires (and is counted) on a singular
     shift, and the perturbed factorization stays finite."""
