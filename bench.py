@@ -400,22 +400,25 @@ COMPONENT_FLOOR = 0.5  # composite reports 0 unless EVERY component clears this
 
 
 def main():
-    spmv_r = bench_spmv_dia()
-    well_r = bench_spmv_well()
-    components = [
-        spmv_r,
-        well_r,
-        bench_spmm_well(well_r["value"]),
-        bench_lu_1m(),
-        bench_lu_pivoted(),
-        bench_lu_3d(),
-        bench_feast_50(),
-    ]
-    # per-component lines on STDOUT, before the composite: a geomean must
-    # never hide a per-component miss (round-1 lesson — a 12x FEAST loss
-    # shipped behind a 6.5x LU win)
-    for c in components:
-        print(json.dumps(c))
+    # per-component lines print on STDOUT AS EACH FINISHES (flush): a
+    # geomean must never hide a per-component miss (round-1 lesson — a 12x
+    # FEAST loss shipped behind a 6.5x LU win), and a timeout mid-run must
+    # still leave the completed components on record
+    components = []
+
+    def run(fn, *args):
+        c = fn(*args)
+        components.append(c)
+        print(json.dumps(c), flush=True)
+        return c
+
+    spmv_r = run(bench_spmv_dia)
+    well_r = run(bench_spmv_well)
+    run(bench_spmm_well, well_r["value"])
+    run(bench_lu_1m)
+    run(bench_lu_pivoted)
+    run(bench_lu_3d)
+    run(bench_feast_50)
     ratios = [max(c["vs_baseline"], 1e-9) for c in components]
     score = float(np.prod(ratios) ** (1.0 / len(ratios)))
     accuracy_ok = all(
