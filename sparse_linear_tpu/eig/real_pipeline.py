@@ -397,7 +397,11 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
 
         # ---- whitening: m0 x m0 spectral inverse square root on host
         # (subspace is rank-deficient by design — the filter kills the
-        # outside directions; QR/Cholesky break down)
+        # outside directions; QR/Cholesky break down).
+        # The small eighs MUST stay on host LAPACK: fusing them on-device
+        # (jnp.linalg.eigh, emulated f64) was measured to stall FEAST
+        # convergence at ~1e-8 — the TPU eigh's accuracy floor — turning a
+        # 2-loop/1.6 s solve into a 4-loop/2.5 s one that misses tol=1e-10.
         g_np = np.asarray(g)
         w, v = np.linalg.eigh(0.5 * (g_np + g_np.T))
         floor = max(float(w.max()), 0.0) * np.finfo(np.float64).eps * len(w)
