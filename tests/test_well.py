@@ -151,3 +151,64 @@ def test_well_complex_two_planes(rng):
     np.testing.assert_allclose(
         np.asarray(yr), np.asarray(a.todense()) @ x.real, atol=1e-12
     )
+
+
+# ------------------------------------------------------------- multi-RHS SpMM
+
+
+def test_well_spmm_matches_dense(rng):
+    """Multi-RHS kernel vs dense ground truth, f32 (the FEAST ijob=30/40
+    hot multiply at block width m)."""
+    from sparse_linear_tpu.kernels.spmv_well import well_spmm
+
+    nr, nc, m = 700, 520, 9
+    a = _random_csr(rng, nr, nc, 0.03)
+    a32 = sl.from_triples(
+        (nr, nc), np.asarray(a.tocoo().row), np.asarray(a.tocoo().col),
+        np.asarray(a.tocoo().data).astype(np.float32),
+    ).tocsr()
+    w = csr_to_well(a32)
+    x = rng.standard_normal((nc, m)).astype(np.float32)
+    y = well_spmm(w, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(a32.todense()) @ x, rtol=2e-5, atol=2e-4
+    )
+
+
+def test_well_spmm_complex_planes(rng):
+    """Complex A x complex X composes from real plane passes."""
+    from sparse_linear_tpu.kernels.spmv_well import well_spmm
+
+    nr, nc, m = 300, 240, 5
+    n = 2500
+    rows = rng.integers(0, nr, size=n)
+    cols = rng.integers(0, nc, size=n)
+    vals = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    a = sl.from_triples((nr, nc), rows, cols, vals).tocsr()
+    w = csr_to_well(a)
+    x = (rng.standard_normal((nc, m))
+         + 1j * rng.standard_normal((nc, m)))
+    y = well_spmm(w, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(a.todense()) @ x, atol=1e-10
+    )
+    # real A x complex X (the FEAST contour case)
+    ar = sl.from_triples((nr, nc), rows, cols, vals.real).tocsr()
+    wr = csr_to_well(ar)
+    yr = well_spmm(wr, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(yr), np.asarray(ar.todense()) @ x, atol=1e-10
+    )
+
+
+def test_well_spmm_vector_and_mismatch(rng):
+    """1-D x falls through to well_spmv; dimension mismatch raises."""
+    from sparse_linear_tpu.kernels.spmv_well import well_spmm
+
+    a = _random_csr(rng, 100, 80, 0.05)
+    w = csr_to_well(a)
+    x = rng.standard_normal(80)
+    y = well_spmm(w, jnp.asarray(x))
+    assert y.ndim == 1
+    with pytest.raises(ValueError, match="mismatch"):
+        well_spmm(w, jnp.asarray(rng.standard_normal((7, 3))))
