@@ -401,7 +401,7 @@ def _geigsh_embedded_complex(*, m0, n, ne, emin, emax, params, guess, cdtype,
     eps_prev = np.inf
     lam_np = np.zeros((0,))
     res_np = np.zeros((0,))
-    x_np = np.zeros((n, 0), dtype=cdtype)
+    xe_last, inside_last = None, None
     loops_done = 0
     refine_n = (params.refine_solves if params.refine_solves is not None
                 else (2 if factors_dtype_f32 else 0))
@@ -456,14 +456,21 @@ def _geigsh_embedded_complex(*, m0, n, ne, emin, emax, params, guess, cdtype,
         xe = ce.rmul_embedded(qe, jnp.asarray(np.ascontiguousarray(coeff.real)),
                               jnp.asarray(np.ascontiguousarray(coeff.imag)))
 
-        # residuals: ||A x - lam B x|| == embedded norms (lam is real)
+        # residuals: ||A x - lam B x|| == embedded norms (lam is real).
+        # Device-resident: only the (2, m0) norm block crosses to the host
+        # — pulling the (2n, m0) subspace per loop costs seconds at scale
+        # (the round-2 lesson from the real fast path, eig/real_pipeline).
+        m_kept = len(lam)
+        lam_pad = np.zeros((m0,))
+        lam_pad[:m_kept] = lam
         ax_e = spmm(a_e, xe)
         bx_e = spmm(b_e, xe)
-        r_e = np.asarray(ax_e) - np.asarray(bx_e) * lam[None, :]
-        rnorm = np.linalg.norm(r_e, axis=0)
-        xnorm = np.maximum(np.linalg.norm(np.asarray(xe), axis=0),
-                           np.finfo(float).tiny)
-        res = rnorm / (lam_scale * xnorm)
+        r_e = ax_e - bx_e * jnp.asarray(lam_pad)[None, : xe.shape[1]]
+        rnorm = np.asarray(jnp.linalg.norm(r_e, axis=0))
+        xnorm = np.maximum(
+            np.asarray(jnp.linalg.norm(xe, axis=0)), np.finfo(float).tiny
+        )
+        res = (rnorm / (lam_scale * xnorm))[:m_kept]
 
         inside = (lam >= emin) & (lam <= emax)
         m_found = int(inside.sum())
@@ -472,19 +479,20 @@ def _geigsh_embedded_complex(*, m0, n, ne, emin, emax, params, guess, cdtype,
             print(f"feast(zembed) loop {loop}: m={m_found}, "
                   f"epsout={epsout:.3e}")
 
-        xe_np = np.asarray(xe)
-        x_all = (xe_np[0::2] + 1j * xe_np[1::2]).astype(cdtype)
-        lam_np, res_np, x_np = lam[inside], res[inside], x_all[:, inside]
+        lam_np, res_np = lam[inside], res[inside]
+        xe_last, inside_last = xe, inside
 
-        # warm-restart subspace: kept Ritz vectors + random refill
-        y_next = np.zeros((n, m0), dtype=cdtype)
-        y_next[:, : x_all.shape[1]] = x_all
-        if x_all.shape[1] < m0:
-            rng_fill = np.random.default_rng(params.seed + loop + 1)
-            fill = (rng_fill.standard_normal((n, m0 - x_all.shape[1]))
-                    + 1j * rng_fill.standard_normal((n, m0 - x_all.shape[1])))
-            y_next[:, x_all.shape[1]:] = fill.astype(cdtype)
-        ye = jnp.asarray(_np_embed(y_next))
+        # warm-restart subspace ON DEVICE: kept Ritz columns + random
+        # refill (a device normal in the embedded reals IS a complex
+        # normal; pushing a host fill would cost a (2n, m0) transfer)
+        keep = np.zeros((m0,))
+        keep[:m_kept] = 1.0
+        fill_e = jax.random.normal(
+            jax.random.key(params.seed + loop + 1), (2 * n, m0),
+            dtype=jnp.float64,
+        )
+        xe_pad = jnp.pad(xe, ((0, 0), (0, m0 - xe.shape[1])))
+        ye = jnp.where(jnp.asarray(keep)[None, :] > 0, xe_pad, fill_e)
 
         if m_found and epsout <= params.tol:
             info = INFO_OK
@@ -500,6 +508,12 @@ def _geigsh_embedded_complex(*, m0, n, ne, emin, emax, params, guess, cdtype,
         info = INFO_SUBSPACE_TOO_SMALL
 
     order = np.argsort(lam_np)
+    # the (2n, m_kept) Ritz block crosses to the host ONCE, here
+    if loops_done and xe_last is not None:
+        xl = np.asarray(xe_last)
+        x_np = (xl[0::2] + 1j * xl[1::2]).astype(cdtype)[:, inside_last]
+    else:
+        x_np = np.zeros((n, 0), dtype=cdtype)
     ye_np = np.asarray(ye)
     return EigResult(
         values=lam_np[order],
