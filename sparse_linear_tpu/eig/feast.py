@@ -219,62 +219,6 @@ def _refine_residual(fast_a_mm, fast_b_mm, z_nodes, x64, by64, trans):
     return jnp.stack([rr, ri], axis=2).reshape(ne, 2 * n_, m_)
 
 
-def _host_rr_state(mat_a, mat_b, b_is_ident):
-    """Host-side (scipy) operators for the Rayleigh-Ritz stage on
-    accelerators.  The m0-column Gram/whitening algebra is tiny, but on
-    this TPU stack every f64 matrix-matrix contraction accumulates with
-    f32-level error for some operand distributions (measured 2e-6 absolute
-    on a whitened Gram, independent of precision config and of the
-    double-float operand split) — which floors the Ritz residual at ~1e-7.
-    numpy/scipy on host is exact and costs one subspace pull + push per
-    loop."""
-    import scipy.sparse as sp
-
-    def to_sp(m):
-        c = m.tocsr()
-        return sp.csr_matrix(
-            (np.asarray(c.data), np.asarray(c.indices),
-             np.asarray(c.indptr)), shape=c.shape,
-        )
-
-    a_sp = to_sp(mat_a)
-    b_sp = None if b_is_ident else to_sp(mat_b)
-    return a_sp, b_sp
-
-
-def _host_whiten_rr(qn, a_sp, b_sp, m0, emin, emax, lam_scale):
-    """Whiten + Rayleigh-Ritz + residuals, all host numpy/scipy (exact).
-
-    Returns (lam, res, x, y_next, inside)."""
-    for _ in range(2):
-        g = qn.conj().T @ qn
-        w, v = np.linalg.eigh(0.5 * (g + g.conj().T))
-        floor = max(float(w.max()), 0.0) * np.finfo(np.float64).eps * len(w)
-        wi = 1.0 / np.sqrt(np.maximum(w, max(floor,
-                                             np.finfo(np.float64).tiny)))
-        qn = qn @ ((v * wi[None, :]) @ v.conj().T)
-    aq = qn.conj().T @ (a_sp @ qn)
-    bq = qn.conj().T @ (b_sp @ qn if b_sp is not None else qn)
-    lam, coeff = _reduced_geig(aq, bq)
-    x = qn @ coeff
-    ax = a_sp @ x
-    bx = b_sp @ x if b_sp is not None else x
-    rnorm = np.linalg.norm(ax - bx * lam[None, :], axis=0)
-    xnorm = np.maximum(np.linalg.norm(x, axis=0), np.finfo(float).tiny)
-    res = rnorm / (lam_scale * xnorm)
-    inside = (lam >= emin) & (lam <= emax)
-    m_kept = x.shape[1]
-    y_next = np.zeros((qn.shape[0], m0), dtype=x.dtype)
-    y_next[:, :m_kept] = x
-    if m_kept < m0:
-        rng_fill = np.random.default_rng(m_kept + 12345)
-        fill = rng_fill.standard_normal((qn.shape[0], m0 - m_kept))
-        if np.issubdtype(x.dtype, np.complexfloating):
-            fill = fill + 1j * rng_fill.standard_normal(fill.shape)
-        y_next[:, m_kept:] = fill.astype(x.dtype)
-    return lam, res, x, y_next, inside
-
-
 def _is_identity(mat) -> bool:
     """Host check: mat == I exactly (the eigSH B:=ident case, Feast.hs:99-100;
     skips every B product and B residual)."""
@@ -741,11 +685,20 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
         b_is_ident = _is_identity(mat_b)
     fast_a_mm = _fast_spmm_op(mat_a)
     fast_b_mm = (lambda X: X) if b_is_ident else _fast_spmm_op(mat_b)
-    a_sp_host = b_sp_host = None
     if use_embed:
-        with host_ctx():
-            a_sp_host, b_sp_host = _host_rr_state(mat_a, mat_b, b_is_ident)
-    x_host = None
+        # device programs for the whitened Rayleigh-Ritz blocks: Grams via
+        # chunk-accumulated dot64 (utils/precision.py) — exact at any
+        # contraction length, so the subspace never crosses to the host
+        _gram64 = jax.jit(lambda q_: dot64(q_.T, q_))
+
+        @jax.jit
+        def _whiten_rr64(q_, wmat_):
+            qw = shard_rows_arr(dot64(q_, wmat_))
+            aq_ = dot64(qw.T, fast_a_mm(qw))
+            bq_ = dot64(qw.T, qw) if b_is_ident else dot64(
+                qw.T, fast_b_mm(qw)
+            )
+            return qw, jnp.stack([aq_, bq_])
     tiny = np.finfo(np.float64).tiny
     sdt = jnp.float32 if factors_dtype_f32 else jnp.float64
 
@@ -852,41 +805,44 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
         loops_done = loop + 1
         if use_embed:
             # ---- accelerator path: solves + refinement + quadrature on
-            # device; whitening + Rayleigh-Ritz + residuals on host (exact
-            # f64 — see _host_rr_state for why the device Grams cannot be
-            # trusted on this stack).  One subspace pull + push per loop.
+            # device, then spectral whitening with the Gram computed via
+            # chunk-accumulated dot64 (exact ~1e-14 at any contraction
+            # length, utils/precision.py); only the m0 x m0 blocks cross
+            # to the host for the small exact eighs.
             q = filter_step(factors, y)
-            lam, res, x_loop, y_np, inside_k = _host_whiten_rr(
-                np.asarray(q), a_sp_host, b_sp_host, m0, emin, emax,
-                lam_scale,
-            )
-            y = shard_rows_arr(jnp.asarray(y_np))
-            x_host = x_loop
-            x_dev = None
+            g_np = np.asarray(_gram64(q))
+            w_, v_ = np.linalg.eigh(0.5 * (g_np + g_np.T))
+            floor = (max(float(w_.max()), 0.0)
+                     * np.finfo(np.float64).eps * len(w_))
+            wi = 1.0 / np.sqrt(np.maximum(w_, max(floor, tiny)))
+            wmat = (v_ * wi[None, :]) @ v_.T
+            q, ab_d = _whiten_rr64(q, jnp.asarray(wmat))
+            ab = np.asarray(ab_d)
+            aq, bq = ab[0], ab[1]
         else:
             q, aq_d, bq_d = filter_step(factors, y)
             aq = np.asarray(aq_d)
             bq = np.asarray(bq_d)
 
-            # ---- Rayleigh-Ritz (m0 x m0 reduced problem, Feast.hs:153-154)
-            # on host; outputs padded back to the static m0 width
-            lam, coeff = _reduced_geig(aq, bq)
-            m_kept = int(coeff.shape[1])
-            coeff_pad = np.zeros((m0, m0), dtype=coeff.dtype)
-            coeff_pad[:, :m_kept] = coeff
-            lam_pad = np.zeros((m0,), dtype=np.float64)
-            lam_pad[:m_kept] = np.real(lam)
-            keep = np.zeros((m0,), dtype=np.float64)
-            keep[:m_kept] = 1.0
+        # ---- Rayleigh-Ritz (m0 x m0 reduced problem, Feast.hs:153-154)
+        # on host; outputs padded back to the static m0 width
+        lam, coeff = _reduced_geig(aq, bq)
+        m_kept = int(coeff.shape[1])
+        coeff_pad = np.zeros((m0, m0), dtype=coeff.dtype)
+        coeff_pad[:, :m_kept] = coeff
+        lam_pad = np.zeros((m0,), dtype=np.float64)
+        lam_pad[:m_kept] = np.real(lam)
+        keep = np.zeros((m0,), dtype=np.float64)
+        keep[:m_kept] = 1.0
 
-            # ---- residuals + warm-restart subspace, second device program
-            res_pad, y, x_dev = ritz_step(
-                q, jnp.asarray(coeff_pad), jnp.asarray(lam_pad),
-                jnp.asarray(keep), jax.random.key(params.seed + loop + 1),
-            )
-            res = np.asarray(res_pad)[:m_kept]
-            lam = np.real(lam)[:m_kept]
-            x_host = None
+        # ---- residuals + warm-restart subspace, second device program
+        res_pad, y, x_dev = ritz_step(
+            q, jnp.asarray(coeff_pad.real if use_embed else coeff_pad),
+            jnp.asarray(lam_pad),
+            jnp.asarray(keep), jax.random.key(params.seed + loop + 1),
+        )
+        res = np.asarray(res_pad)[:m_kept]
+        lam = np.real(lam)[:m_kept]
 
         inside_k = (lam >= emin) & (lam <= emax)
         m_found = int(inside_k.sum())
@@ -927,8 +883,6 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
 
     if x_dev is not None:
         x_np = np.asarray(x_dev)[:, inside]
-    elif x_host is not None:
-        x_np = x_host[:, inside[: x_host.shape[1]]]
     else:
         x_np = np.zeros((n, 0))
 
