@@ -63,6 +63,33 @@ def test_well_spmm_on_chip(rng):
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=2e-4)
 
 
+def test_well_spmm_wide_x_on_chip(rng):
+    """Column space too large for a full VMEM-resident X block: exercises
+    the VMEM-adaptive RHS tile + raised scoped-vmem limit (the config that
+    OOM'd Mosaic at 16 MB default in round 2's first bench run)."""
+    import sparse_linear_tpu as sl
+    from sparse_linear_tpu.formats.well import csr_to_well
+    from sparse_linear_tpu.kernels.spmv_well import well_spmm
+
+    nr, nc, n, m = 1024, 2_000_000, 20000, 16
+    rows = rng.integers(0, nr, size=n)
+    cols = rng.integers(0, nc, size=n)
+    vals = rng.standard_normal(n).astype(np.float32)
+    a = sl.from_triples((nr, nc), rows, cols, vals).tocsr()
+    w = csr_to_well(a)
+    x = rng.standard_normal((nc, m)).astype(np.float32)
+    y = well_spmm(w, jnp.asarray(x), interpret=False)
+    import scipy.sparse as sp
+
+    As = sp.csr_matrix(
+        (np.asarray(a.data), np.asarray(a.indices), np.asarray(a.indptr)),
+        shape=a.shape,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), As @ x, rtol=2e-5, atol=2e-4
+    )
+
+
 def test_dia_spmv_pallas_on_chip(rng):
     from sparse_linear_tpu.kernels.spmv_pallas import dia_spmv_pallas
     from sparse_linear_tpu.utils.grids import poisson_2d
