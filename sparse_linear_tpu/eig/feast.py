@@ -83,16 +83,23 @@ class FeastParams:
 
 class EigResult(NamedTuple):
     """Structured output (SURVEY.md §5: keep epsout/loop/res instead of
-    discarding them like the reference driver, Feast.hs:140-155)."""
+    discarding them like the reference driver, Feast.hs:140-155).
+
+    ``vectors``/``subspace`` are array-likes: numpy on host paths, but the
+    TPU fast path returns DEVICE-RESIDENT ``jax.Array``s (pulling (n, m0)
+    f64 through the host link costs seconds at scale).  Call
+    ``np.asarray(...)`` for a host copy; both kinds support read-only
+    numpy-style indexing/matmul, and ``subspace`` feeds straight back into
+    ``geigsh(guess=...)`` either way."""
 
     values: np.ndarray       # (m,) eigenvalues found inside the interval
-    vectors: np.ndarray      # (n, m) B-orthonormal eigenvectors
+    vectors: object          # (n, m) B-orthonormal eigenvectors (np or jax)
     n_found: int
     iterations: int
     epsout: float            # reached max residual (FEAST's epsout analog)
     residuals: np.ndarray    # (m,) per-pair relative residuals
     info: int                # INFO_* code (reference decode, Feast.hs:246-258)
-    subspace: np.ndarray     # (n, m0) full final subspace for warm restart
+    subspace: object         # (n, m0) final subspace for warm restart
 
 
 def _check_hermitian(mat, name):
@@ -261,9 +268,8 @@ def _orthonormalize(q):
     return x
 
 
-def _whiten_host(q_raw, gram_fn, mul_fn, passes=2):
-    """Two-pass Gram whitening: Q <- Q (X^H X)^{-1/2} with the tiny m0 x m0
-    symmetric inverse square root computed ON HOST (numpy eigh).
+def _whiten_mat(g_np, passes=2):
+    """Whitening matrix W (so Q W is orthonormal) from ONE pulled Gram.
 
     Why not QR/CholeskyQR on device: the FEAST-filtered subspace is
     *numerically rank-deficient by design* (the contour filter kills the
@@ -271,18 +277,24 @@ def _whiten_host(q_raw, gram_fn, mul_fn, passes=2):
     down (NaN), and Householder QR under TPU f64 emulation costs ~12 s per
     loop at 65k x 80.  Eigh-based whitening floors the noise eigenvalues
     instead — those directions come out badly conditioned, and the reduced
-    generalized eigenproblem drops them via its own B-mass cutoff.  The
-    device work is two Gram matmuls + two (n, m0) x (m0, m0) products on
-    the MXU; only 80x80 blocks cross the host boundary."""
+    generalized eigenproblem drops them via its own B-mass cutoff.
+
+    Two passes guard the heavily rank-deficient case; the second pass's
+    Gram is G2 = W1^H G W1 computed HOST-side in exact f64, so extra
+    passes cost no device round trips — only the m0 x m0 block ever
+    crosses the boundary."""
+    g = np.asarray(g_np)
+    g = 0.5 * (g + g.conj().T)
+    wtot = np.eye(g.shape[0], dtype=g.dtype)
+    tiny = np.finfo(np.float64).tiny
     for _ in range(passes):
-        g = np.asarray(gram_fn(q_raw))
-        g = 0.5 * (g + g.conj().T)
-        w, v = np.linalg.eigh(g)
+        w, v = np.linalg.eigh(0.5 * (g + g.conj().T))
         floor = max(float(w.max()), 0.0) * np.finfo(np.float64).eps * len(w)
-        wi = 1.0 / np.sqrt(np.maximum(w, max(floor, np.finfo(np.float64).tiny)))
-        wmat = (v * wi[None, :]) @ v.conj().T
-        q_raw = mul_fn(q_raw, jnp.asarray(wmat.astype(np.asarray(g).dtype)))
-    return q_raw
+        wi = 1.0 / np.sqrt(np.maximum(w, max(floor, tiny)))
+        w1 = (v * wi[None, :]) @ v.conj().T
+        wtot = wtot @ w1
+        g = w1.conj().T @ g @ w1
+    return wtot
 
 
 def _host_embed_matrix(mat, dtype=np.float64):
@@ -380,14 +392,13 @@ def _geigsh_embedded_complex(*, m0, n, ne, emin, emax, params, guess, cdtype,
         qe = ce.merge_embedded(q_re, q_im)
 
         # whitening (the complex analog of the real path's QR): Gram via
-        # real matmuls, spectral inverse square root on host
+        # real matmuls, two-pass spectral inverse square root on host
+        # (_whiten_mat — host-only extra passes, one m0 x m0 pull)
         gre, gim = ce.gram_embedded(qe, qe)
         g = np.asarray(gre) + 1j * np.asarray(gim)
-        wb, vb = np.linalg.eigh(0.5 * (g + g.conj().T))
-        floor = max(float(wb.max()), 0.0) * 1e-14 + np.finfo(float).tiny
-        white = vb / np.sqrt(np.maximum(wb, floor))
-        qe = ce.rmul_embedded(qe, jnp.asarray(white.real),
-                              jnp.asarray(white.imag))
+        white = _whiten_mat(g)
+        qe = ce.rmul_embedded(qe, jnp.asarray(np.ascontiguousarray(white.real)),
+                              jnp.asarray(np.ascontiguousarray(white.imag)))
 
         # Rayleigh-Ritz: reduced complex blocks from embedded products
         aq_full = spmm(a_e, qe)
@@ -522,10 +533,13 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
 
     if (real_input and mesh is None
             and params.complex_strategy != "native"
+            and params.contour_batching != "loop"
             and jax.default_backend() not in ("cpu",)):
         # accelerator fast path for real symmetric pencils: cached pipeline,
         # contour-batched factor/solve, conjugate-eliminated trans solves,
-        # device-resident Rayleigh-Ritz (eig/real_pipeline.py)
+        # device-resident Rayleigh-Ritz (eig/real_pipeline.py).
+        # contour_batching="loop" opts OUT (it factors node-by-node for
+        # patterns whose vmapped factorization defeats the compiler).
         from sparse_linear_tpu.eig.real_pipeline import geigsh_real_tpu
 
         return geigsh_real_tpu(m0, (emin, emax), mat_a, mat_b, params,
@@ -810,12 +824,7 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
             # length, utils/precision.py); only the m0 x m0 blocks cross
             # to the host for the small exact eighs.
             q = filter_step(factors, y)
-            g_np = np.asarray(_gram64(q))
-            w_, v_ = np.linalg.eigh(0.5 * (g_np + g_np.T))
-            floor = (max(float(w_.max()), 0.0)
-                     * np.finfo(np.float64).eps * len(w_))
-            wi = 1.0 / np.sqrt(np.maximum(w_, max(floor, tiny)))
-            wmat = (v_ * wi[None, :]) @ v_.T
+            wmat = _whiten_mat(np.asarray(_gram64(q)))
             q, ab_d = _whiten_rr64(q, jnp.asarray(wmat))
             ab = np.asarray(ab_d)
             aq, bq = ab[0], ab[1]

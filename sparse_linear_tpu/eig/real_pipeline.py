@@ -46,10 +46,19 @@ import jax.numpy as jnp
 
 from sparse_linear_tpu.utils.precision import dot64
 
-__all__ = ["geigsh_real_tpu"]
+__all__ = ["geigsh_real_tpu", "clear_pipeline_cache"]
 
 _PIPELINE_CACHE: dict = {}
-_PIPELINE_CACHE_MAX = 8
+_PIPELINE_CACHE_MAX = 4
+_FACTOR_CACHE_MAX = 2  # batched shifted factor sets per pipeline (HBM-heavy)
+
+
+def clear_pipeline_cache() -> None:
+    """Drop every cached pipeline (symbolic analyses, jitted programs, and
+    the batched shifted FACTOR sets, which pin GB-scale HBM at large n).
+    Call between unrelated large problems to release device memory; the
+    next solve rebuilds from scratch."""
+    _PIPELINE_CACHE.clear()
 
 
 def _fingerprint(mat) -> tuple:
@@ -227,12 +236,10 @@ class _RealPencilPipeline:
             return s64, resid(s64, by64)
 
         @jax.jit
-        def combine_gram(s_parts):
+        def combine_gram(s64):
             """q = 2 Re sum_k sigma_k S_k (transpose solves are conjugates
             for a real pencil — eliminated), plus the f64 whitening Gram."""
-            s64 = s_parts[0].astype(jnp.float64)
-            for p in s_parts[1:]:
-                s64 = s64 + p.astype(jnp.float64)
+            s64 = s64.astype(jnp.float64)
             sr = s64[:, 0::2, :]
             si = s64[:, 1::2, :]
             q = 2.0 * (
@@ -297,7 +304,7 @@ class _RealPencilPipeline:
         fac = solve_api.factor_batched(
             self.pattern_r, data_stack, self.symbolic
         )
-        if len(self._factors) >= 4:
+        if len(self._factors) >= _FACTOR_CACHE_MAX:
             self._factors.pop(next(iter(self._factors)))
         self._factors[zkey] = fac
         return fac
@@ -384,29 +391,26 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
         by64, rhs32 = progs["pre"](y)
         s64 = solve_api.solve_batched(factors, rhs32).astype(jnp.float64)
         n_ref = 0 if loop == 0 else refine_n
-        parts = [s64]
         r = None
         for _ in range(n_ref):
             if r is None:
                 r = progs["resid"](s64, by64)
             dx = solve_api.solve_batched(factors, r.astype(jnp.float32))
             s64, r = progs["resid_acc"](s64, dx, by64)
-            parts = [s64]
-        q, g = progs["combine_gram"](parts)
+        q, g = progs["combine_gram"](s64)
         _tick(f"loop{loop} filter+gram")
 
-        # ---- whitening: m0 x m0 spectral inverse square root on host
-        # (subspace is rank-deficient by design — the filter kills the
-        # outside directions; QR/Cholesky break down).
+        # ---- whitening: m0 x m0 two-pass spectral inverse square root on
+        # host (subspace is rank-deficient by design — the filter kills
+        # the outside directions; QR/Cholesky break down; extra passes run
+        # entirely host-side on the one pulled Gram).
         # The small eighs MUST stay on host LAPACK: fusing them on-device
         # (jnp.linalg.eigh, emulated f64) was measured to stall FEAST
         # convergence at ~1e-8 — the TPU eigh's accuracy floor — turning a
         # 2-loop/1.6 s solve into a 4-loop/2.5 s one that misses tol=1e-10.
-        g_np = np.asarray(g)
-        w, v = np.linalg.eigh(0.5 * (g_np + g_np.T))
-        floor = max(float(w.max()), 0.0) * np.finfo(np.float64).eps * len(w)
-        wi = 1.0 / np.sqrt(np.maximum(w, max(floor, tiny)))
-        wmat = (v * wi[None, :]) @ v.T
+        from sparse_linear_tpu.eig.feast import _whiten_mat
+
+        wmat = _whiten_mat(np.asarray(g))
         _tick(f"loop{loop} whiten(host)")
 
         qw, ab = progs["whiten_rr"](q, jnp.asarray(wmat))

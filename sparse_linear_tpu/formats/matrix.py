@@ -114,13 +114,12 @@ class _MatrixOpsMixin:
         """Fold over STORED values only (reference MonoFoldable
         ``ofoldl'``, Matrix/Sparse.hs:84-98).
 
-        Vectorized: when ``f`` is a reassociable jnp/numpy binary op it is
-        applied as one array reduction (``f(acc, values_array)`` semantics
-        via functools.reduce over a logarithmic tree would change the
-        fold order, so instead the fold runs as ``f`` accumulated over
-        fixed-size host blocks — O(nnz / block) Python iterations instead
-        of O(nnz); exact for associative+commutative folds, and still
-        left-to-right within each block application)."""
+        When ``f`` is one of the recognized associative numpy/jnp binary
+        ops (add/multiply/maximum/minimum, operator.add/mul) the fold runs
+        as ONE vector reduction and ``f(init, reduced)`` — same result up
+        to floating-point reassociation (numpy reduces pairwise, not
+        strictly left-to-right).  Any other ``f`` gets the exact
+        sequential left fold, O(nnz) host iterations."""
         from sparse_linear_tpu.ops.build import trim
 
         import numpy as _np

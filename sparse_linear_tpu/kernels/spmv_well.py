@@ -226,14 +226,22 @@ def well_spmm(a, x, interpret: bool | None = None, vb: int = 8, mt: int = 8):
     a_im = getattr(a, "vals_im", None)
     if a_im is None and not jnp.iscomplexobj(x):
         return _well_spmm_real(a, x, interpret=interpret, vb=vb, mt=mt)
+    run = functools.partial(_well_spmm_real, interpret=interpret, vb=vb,
+                            mt=mt)
+    return _complex_planes(run, a, x)
+
+
+def _complex_planes(run, a, x):
+    """(Ar + iAi)(Xr + iXi) from real kernel passes: TPU gathers have no
+    complex dtype, so each product runs the real kernel once; absent
+    planes (real A or real X) are skipped entirely."""
     import dataclasses
 
+    a_im = getattr(a, "vals_im", None)
     ar = a if a_im is None else dataclasses.replace(a, vals_im=None)
     xr = jnp.real(x).astype(a.vals.dtype)
     xi = (jnp.imag(x).astype(a.vals.dtype)
           if jnp.iscomplexobj(x) else None)
-    run = functools.partial(_well_spmm_real, interpret=interpret, vb=vb,
-                            mt=mt)
     y_re = run(ar, xr)
     y_im = jnp.zeros_like(y_re)
     if xi is not None:
@@ -270,23 +278,5 @@ def well_spmv(a, x, interpret: bool | None = None, vb: int = 16):
     a_im = getattr(a, "vals_im", None)
     if a_im is None and not jnp.iscomplexobj(x):
         return _well_spmv_real(a, x, interpret=interpret, vb=vb)
-    # complex via real planes: (Ar + iAi)(xr + ixi); TPU gathers have no
-    # complex dtype, so each product is one real kernel pass
-    import dataclasses
-
-    ar = a if a_im is None else dataclasses.replace(a, vals_im=None)
-    xr = jnp.real(x).astype(a.vals.dtype)
-    xi = (jnp.imag(x).astype(a.vals.dtype)
-          if jnp.iscomplexobj(x) else None)
     run = functools.partial(_well_spmv_real, interpret=interpret, vb=vb)
-    y_re = run(ar, xr)
-    y_im = jnp.zeros_like(y_re)
-    if xi is not None:
-        y_im = y_im + run(ar, xi)
-    if a_im is not None:
-        ai = dataclasses.replace(a, vals=a.vals_im, vals_im=None)
-        y_im = y_im + run(ai, xr)
-        if xi is not None:
-            y_re = y_re - run(ai, xi)
-    cdtype = jnp.complex128 if a.vals.dtype == jnp.float64 else jnp.complex64
-    return (y_re + 1j * y_im).astype(cdtype)
+    return _complex_planes(run, a, x)
