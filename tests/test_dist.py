@@ -199,3 +199,53 @@ def test_sharded_well_spmv_mixed_real_complex(mesh):
     y = spmv_sharded(ash, jnp.asarray(x), mesh)
     ref = np.asarray(a.todense()) @ x
     np.testing.assert_allclose(np.asarray(y), ref, atol=1e-10)
+
+
+def test_sharded_3d_poisson_spmv(mesh):
+    """Config-5 rehearsal (BASELINE: multi-chip row-partitioned SpMV on 3D
+    Poisson): the 7-point DIA operator row-sharded over the mesh, halo
+    exchange over the +-nx*ny band, vs the dense product."""
+    from sparse_linear_tpu.utils.grids import poisson_3d
+
+    nx = 16  # n = 4096, 512 rows/device > halo width nx*ny = 256
+    a_dia = poisson_3d(nx, dtype=np.float64, fmt="dia")
+    a_csr = poisson_3d(nx, dtype=np.float64)
+    x = np.random.default_rng(5).standard_normal(nx ** 3)
+    a_sh = shard_dia_rows(a_dia, mesh)
+    for exchange in ("halo", "allgather"):
+        y = dia_spmv_sharded(a_sh, jnp.asarray(x), mesh, exchange=exchange)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(a_csr.todense()) @ x, atol=1e-11
+        )
+
+
+def test_distributed_feast_3d_poisson(mesh):
+    """Config-5 rehearsal, eigensolver side: distributed FEAST (contour axis
+    over the mesh) on the 3D Poisson operator, checked against the analytic
+    spectrum lambda_{ijk} = sum of the three 1D eigenvalues."""
+    from sparse_linear_tpu.eig.feast import FeastParams, eigsh
+    from sparse_linear_tpu.utils.grids import poisson_3d
+
+    g = 8
+    a = poisson_3d(g, dtype=np.float64)
+    k = np.arange(1, g + 1)
+    lam1 = 4 * np.sin(k * np.pi / (2 * (g + 1))) ** 2
+    lam3 = np.sort(
+        (lam1[:, None, None] + lam1[None, :, None] + lam1[None, None, :])
+        .ravel()
+    )
+    # 3D spectra are riddled with permutation multiplets: lam3[4:7] is the
+    # degenerate (2,2,1) triple, so the cut must sit in the strict gap before
+    # the singleton (2,2,2) at index 7.
+    assert lam3[6] < lam3[7]
+    hi = float((lam3[6] + lam3[7]) / 2)
+    cp_mesh = Mesh(np.array(jax.devices()[:8]), ("cp",))
+    res = eigsh(
+        12, (0.0, hi), a,
+        FeastParams(tol=1e-10, contour_points=8, complex_strategy="native"),
+        mesh=cp_mesh,
+    )
+    assert res.n_found == 7
+    np.testing.assert_allclose(
+        np.sort(np.asarray(res.values)), lam3[:7], rtol=1e-10
+    )
