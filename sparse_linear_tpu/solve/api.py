@@ -8,7 +8,9 @@ Reproduces the capability of the reference's UMFPACK layer
   changes", feast/src/.../Feast.hs:210-212).
 * ``factor``   (:71-83)  — numeric factorization into a reusable artifact.
 * ``solve``    (:85-102) — triangular solves; ``trans`` selects A x = b
-  (UmfpackNormal, sys=0) or A^H x = b (UmfpackTrans, sys=1).
+  (UmfpackNormal, sys=0), A^H x = b (UmfpackTrans, sys=1), or — beyond the
+  two modes the reference binds — the plain transpose A^T x = b
+  (``trans="T"``, UMFPACK sys=2 / UMFPACK_Aat).
 * ``linear_solve`` / ``solve_many`` (:38-46) and the ``<\\>`` operator
   (:48-50) as the one-shot convenience path — but batched over RHS via a
   single dense solve instead of the reference's serial list traversal.
@@ -51,6 +53,26 @@ __all__ = [
     "linear_solve",
     "SolveInfo",
 ]
+
+
+def _trans_mode(trans) -> str:
+    """Normalize a ``trans`` argument to one of "N"/"H"/"T".
+
+    Accepts the reference's two modes as booleans (False = UmfpackNormal /
+    sys=0, True = UmfpackTrans / sys=1 = A^H) plus the string spellings,
+    and adds UMFPACK's sys=2 (UMFPACK_Aat: plain transpose A^T x = b,
+    umfpack.h — the reference binds only sys=0/1, Umfpack.hs:85-102).
+    For real data "T" and "H" coincide."""
+    if trans is False or trans is None:
+        return "N"
+    if trans is True:
+        return "H"
+    mode = str(trans).upper()
+    if mode in ("N", "H", "T"):
+        return mode
+    raise ValueError(
+        f"trans must be False/'N', True/'H', or 'T', got {trans!r}"
+    )
 
 
 class SolveInfo(NamedTuple):
@@ -132,18 +154,26 @@ def factor(mat, symbolic: Symbolic | None = None, backend: str = "dense",
 
 def solve(factors: Factors, b, trans: bool = False):
     """Triangular solves on an existing factorization (reference
-    ``linearSolve_``, Umfpack.hs:85-102).  ``trans=True`` solves A^H x = b
-    (UmfpackTrans / sys=1); both modes reuse the same factorization, exactly
-    as FEAST's ijob=20 is a no-op (Feast.hs:226)."""
+    ``linearSolve_``, Umfpack.hs:85-102).  ``trans=True`` (or "H") solves
+    A^H x = b (UmfpackTrans / sys=1); ``trans="T"`` solves the plain
+    transpose A^T x = b (UMFPACK sys=2, beyond the two modes the reference
+    binds).  All modes reuse the same factorization, exactly as FEAST's
+    ijob=20 is a no-op (Feast.hs:226)."""
     b = jnp.asarray(b)
+    mode = _trans_mode(trans)
+    if mode == "T":
+        # A^T x = b  <=>  A^H conj(x) = conj(b): one conjugated H-solve.
+        # For real dtypes conj is the identity and this is exactly "H".
+        return jnp.conj(solve(factors, jnp.conj(b), trans="H"))
+    do_h = mode == "H"
     if factors.backend == "dense":
         lu, piv = factors.payload
         # lu_solve trans: 0 = A x = b, 2 = A^H x = b — both reuse (lu, piv)
-        return jax.scipy.linalg.lu_solve((lu, piv), b, trans=2 if trans else 0)
+        return jax.scipy.linalg.lu_solve((lu, piv), b, trans=2 if do_h else 0)
     if factors.backend == "multifrontal":
         from sparse_linear_tpu.solve import multifrontal
 
-        return multifrontal.solve(factors, b, trans=trans)
+        return multifrontal.solve(factors, b, trans=do_h)
     raise ValueError(f"unknown backend: {factors.backend}")
 
 
@@ -187,6 +217,10 @@ def solve_batched(factors, b_stack, trans: bool = False):
     import jax.numpy as jnp
 
     b_stack = jnp.asarray(b_stack)
+    mode = _trans_mode(trans)
+    if mode == "T":
+        return jnp.conj(solve_batched(factors, jnp.conj(b_stack), trans="H"))
+    trans = mode == "H"
     if factors.backend == "dense":
         lu, piv = factors.payload
         return jax.vmap(
@@ -221,7 +255,11 @@ def solve_refined(factors: Factors, mat, b, trans: bool = False,
     whenever kappa(A) * eps_f32 < 1.  Returns (x, SolveInfo).
     """
     b = jnp.asarray(b)
-    op = mat.ctrans().tocsr() if trans else mat
+    mode = _trans_mode(trans)
+    op = {"N": lambda: mat,
+          "H": lambda: mat.ctrans().tocsr(),
+          "T": lambda: mat.T.tocsr()}[mode]()
+    trans = {"N": False, "H": True, "T": "T"}[mode]
     hi = jnp.promote_types(residual_dtype, b.dtype)
     b_hi = b.astype(hi)
     bnorm = jnp.maximum(jnp.linalg.norm(b_hi), jnp.finfo(hi).tiny)
@@ -242,8 +280,12 @@ def solve_refined(factors: Factors, mat, b, trans: bool = False,
 
 
 def residual_norm(mat, x, b, trans: bool = False):
-    """||Ax - b|| / ||b|| (or A^H), for SolveInfo reporting."""
-    op = mat.ctrans() if trans else mat
+    """||Ax - b|| / ||b|| (or A^H / A^T per ``trans``), for SolveInfo
+    reporting."""
+    mode = _trans_mode(trans)
+    op = {"N": lambda: mat,
+          "H": lambda: mat.ctrans(),
+          "T": lambda: mat.T.tocsr()}[mode]()
     x = jnp.asarray(x)
     ax = spmm(op, x) if x.ndim == 2 else spmv(op, x)
     b = jnp.asarray(b)

@@ -57,6 +57,36 @@ def test_trans_solve(rng, dtype):
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-12
 
 
+def test_trans_T_solve(rng, dtype):
+    """UMFPACK sys=2 (plain transpose A^T x = b) — beyond the reference's
+    two bound modes (Umfpack.hs:85-102); for real dtypes identical to
+    trans="H"."""
+    rows, cols, vals = random_coo(rng, 8, 8, dtype)
+    a = sl.from_triples((8, 8), rows, cols, vals).tocsr()
+    a = sl.add(a, sl.eye(8, dtype=dtype).scale(8.0)).tocsr()
+    b = rng.standard_normal(8).astype(dtype)
+    if np.issubdtype(dtype, np.complexfloating):
+        b = b + 1j * rng.standard_normal(8)
+    f = solve_api.factor(a)
+    x = solve_api.solve(f, jnp.asarray(b), trans="T")
+    r = np.asarray(a.todense()).T @ np.asarray(x) - b
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-12
+    # string spellings agree with the boolean modes
+    xh = solve_api.solve(f, jnp.asarray(b), trans="H")
+    np.testing.assert_allclose(
+        np.asarray(xh),
+        np.asarray(solve_api.solve(f, jnp.asarray(b), trans=True)),
+    )
+    # refined T-solve reaches the same gate through the residual loop
+    xr, info = solve_api.solve_refined(f, a, jnp.asarray(b), trans="T",
+                                       tol=1e-12)
+    rr = np.asarray(a.todense()).T @ np.asarray(xr) - b
+    assert np.linalg.norm(rr) / np.linalg.norm(b) < 1e-10
+    assert info.converged
+    with pytest.raises(ValueError, match="trans"):
+        solve_api.solve(f, jnp.asarray(b), trans="X")
+
+
 def test_batched_rhs(rng, dtype):
     a = poisson_2d(5, dtype=np.float64)
     if np.issubdtype(dtype, np.complexfloating):
