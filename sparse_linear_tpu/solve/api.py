@@ -51,6 +51,9 @@ __all__ = [
     "factor_batched",
     "solve_batched",
     "linear_solve",
+    "slogdet",
+    "det",
+    "rcond",
     "SolveInfo",
 ]
 
@@ -277,6 +280,67 @@ def solve_refined(factors: Factors, mat, b, trans: bool = False,
         x = x + dx.astype(hi)
     return x, SolveInfo(residual_norm=rnorm, refinement_steps=steps,
                         tol=float(tol))
+
+
+def slogdet(factors: Factors):
+    """(sign, logabsdet) of the factored operator, from its LU/Cholesky
+    pivots — UMFPACK's ``umfpack_*_get_determinant`` capability (umfpack.h;
+    it returns mantissa + exponent for the same overflow reason slogdet
+    exists).  The reference binds only the solve entry points
+    (Internal.hs:69-148); this extends toward UMFPACK's full API surface.
+    Host-side query; batched factors return (ne,) arrays."""
+    if factors.backend == "dense":
+        lu, piv = factors.payload
+        lu_np = np.asarray(lu)
+        piv_np = np.asarray(piv)
+        d = np.diagonal(lu_np, axis1=-2, axis2=-1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            logabs = np.sum(np.log(np.abs(d)), axis=-1)
+            unit = np.where(d == 0, 1.0, d / np.abs(d))
+        sign = np.prod(unit, axis=-1)
+        # LAPACK ipiv: row i was swapped with piv[i]; each non-fixed entry
+        # is one executed transposition
+        n = piv_np.shape[-1]
+        swaps = np.sum(piv_np != np.arange(n), axis=-1)
+        sign = sign * np.where(swaps % 2, -1.0, 1.0)
+        if not np.issubdtype(sign.dtype, np.complexfloating):
+            sign = np.where(logabs == -np.inf, 0.0, sign)
+        return sign, logabs
+    if factors.backend == "multifrontal":
+        from sparse_linear_tpu.solve import multifrontal
+
+        return multifrontal.slogdet(factors)
+    raise ValueError(f"unknown backend: {factors.backend}")
+
+
+def det(factors: Factors):
+    """Determinant of the factored operator (overflow-prone at scale — use
+    ``slogdet`` for large n, exactly why UMFPACK's API splits mantissa and
+    exponent)."""
+    sign, logabs = slogdet(factors)
+    with np.errstate(over="ignore", invalid="ignore"):
+        return sign * np.exp(logabs)
+
+
+def rcond(factors: Factors):
+    """Cheap reciprocal-condition estimate min|U_ii| / max|U_ii| — the
+    ``Info[UMFPACK_RCOND]`` statistic UMFPACK reports after every numeric
+    factorization (umfpack.h).  0 means numerically singular; pair small
+    values with ``solve_refined`` and check ``SolveInfo.converged``."""
+    if factors.backend == "dense":
+        lu, _ = factors.payload
+        d = np.abs(np.diagonal(np.asarray(lu), axis1=-2, axis2=-1))
+        dmax = d.max(axis=-1)
+        return np.where(
+            dmax > 0,
+            d.min(axis=-1) / np.maximum(dmax, np.finfo(np.float64).tiny),
+            0.0,
+        )
+    if factors.backend == "multifrontal":
+        from sparse_linear_tpu.solve import multifrontal
+
+        return multifrontal.rcond(factors)
+    raise ValueError(f"unknown backend: {factors.backend}")
 
 
 def residual_norm(mat, x, b, trans: bool = False):

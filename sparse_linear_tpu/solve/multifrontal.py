@@ -48,7 +48,8 @@ import numpy as np
 from sparse_linear_tpu.formats.matrix import CSR
 from sparse_linear_tpu.ops.build import trim
 
-__all__ = ["analyze", "factor", "factor_batched", "solve", "solve_batched", "MFSymbolic", "MFFactors"]
+__all__ = ["analyze", "factor", "factor_batched", "solve", "solve_batched",
+           "slogdet", "rcond", "MFSymbolic", "MFFactors"]
 
 
 def _class_of(x: int, lo: int = 8) -> int:
@@ -797,6 +798,106 @@ def solve_batched(factors: MFFactors, b_stack, trans: bool = False):
                      in_axes=(0, 0, None))
         )
     return _PROGRAM_CACHE[skey](factors.blocks, b_stack, dm)
+
+
+def _perm_sign(perm_rows, k: int) -> float:
+    """Product of permutation parities over ``perm_rows`` (m, k) — each row
+    is one front's local pivot permutation (identity rows skipped fast)."""
+    p = np.asarray(perm_rows).reshape(-1, k)
+    ar = np.arange(k)
+    nontrivial = p[(p != ar[None, :]).any(axis=1)]
+    sign = 1.0
+    for row in nontrivial:
+        visited = np.zeros(k, dtype=bool)
+        for i in range(k):
+            if visited[i] or row[i] == i:
+                visited[i] = True
+                continue
+            j, clen = i, 0
+            while not visited[j]:
+                visited[j] = True
+                j = row[j]
+                clen += 1
+            if clen % 2 == 0:
+                sign = -sign
+    return sign
+
+
+def _real_buckets(factors: MFFactors):
+    return [(bidx, factors.blocks[bidx])
+            for bidx in sorted(k for k in factors.blocks if k >= 0)]
+
+
+def slogdet(factors: MFFactors):
+    """(sign, logabsdet) of the factored operator — the capability of
+    UMFPACK's ``umfpack_*_get_determinant`` (umfpack.h; the reference binds
+    only the solve entry points, Internal.hs:69-148 — this extends the API
+    toward UMFPACK's full surface, like the mantissa+exponent form it uses
+    to dodge overflow).
+
+    The fill-reducing ordering is applied symmetrically (P A P^T), so it
+    contributes no sign; every front's pivot-block U diagonal carries the
+    global pivots, identity padding contributes exactly 1, and the local
+    partial-pivot permutations contribute their parities.  Cholesky factors
+    give det = prod(diag L)^2.  With ``pivot_eps`` static perturbation the
+    result is the determinant of the PERTURBED factorization (backward
+    error O(pivot_eps)).  Host-side query; batched factors (factor_batched)
+    return (ne,) arrays."""
+    ne = getattr(factors, "batch", None)
+    chol = factors.kind == "cholesky"
+    logabs = np.zeros(() if ne is None else (ne,))
+    sign = np.ones(() if ne is None else (ne,),
+                   dtype=(np.complex128
+                          if np.issubdtype(np.dtype(factors.dtype),
+                                           np.complexfloating)
+                          else np.float64))
+    for _, blk in _real_buckets(factors):
+        d = np.diagonal(np.asarray(blk["lu"]), axis1=-2, axis2=-1)
+        # padded pivot rows are exact identity -> diag 1, log 0, sign +1
+        with np.errstate(invalid="ignore", divide="ignore"):
+            logabs = logabs + np.sum(np.log(np.abs(d)), axis=(-2, -1))
+            unit = np.where(d == 0, 1.0, d / np.abs(d))
+        if chol:
+            continue
+        sign = sign * np.prod(unit, axis=(-2, -1))
+        perm = np.asarray(blk["perm"])
+        k = perm.shape[-1]
+        if ne is None:
+            sign = sign * _perm_sign(perm, k)
+        else:
+            sign = sign * np.array(
+                [_perm_sign(perm[e], k) for e in range(ne)]
+            )
+    if chol:
+        logabs = 2.0 * logabs
+    if not np.issubdtype(sign.dtype, np.complexfloating):
+        sign = np.where(logabs == -np.inf, 0.0, sign)
+    return sign, logabs
+
+
+def rcond(factors: MFFactors):
+    """Cheap reciprocal-condition estimate min|U_ii| / max|U_ii| — exactly
+    UMFPACK's ``Info[UMFPACK_RCOND]`` (umfpack.h; reported after numeric
+    factorization).  Identity padding is masked out via each bucket's
+    ``ns_real``.  Cholesky factors square the ratio (A = L L^H).  Batched
+    factors return (ne,) arrays."""
+    dm = _device_maps(factors.symbolic)
+    ne = getattr(factors, "batch", None)
+    dmin = np.full(() if ne is None else (ne,), np.inf)
+    dmax = np.zeros(() if ne is None else (ne,))
+    for bidx, blk in _real_buckets(factors):
+        d = np.abs(np.diagonal(np.asarray(blk["lu"]), axis1=-2, axis2=-1))
+        ns_real = np.asarray(dm["ns_real"][bidx])  # (nb,)
+        mask = np.arange(d.shape[-1])[None, :] < ns_real[:, None]
+        masked_min = np.where(mask, d, np.inf)
+        masked_max = np.where(mask, d, 0.0)
+        dmin = np.minimum(dmin, masked_min.min(axis=(-2, -1)))
+        dmax = np.maximum(dmax, masked_max.max(axis=(-2, -1)))
+    r = np.where(dmax > 0, dmin / np.maximum(dmax, np.finfo(np.float64).tiny),
+                 0.0)
+    if factors.kind == "cholesky":
+        r = r * r
+    return r
 
 
 def solve(factors: MFFactors, b, trans: bool = False):

@@ -87,6 +87,96 @@ def test_trans_T_solve(rng, dtype):
         solve_api.solve(f, jnp.asarray(b), trans="X")
 
 
+def test_slogdet_rcond_dense(rng, dtype):
+    """UMFPACK get_determinant / Info[RCOND] analogs on the dense backend
+    (beyond the reference's bound API — umfpack.h capabilities)."""
+    rows, cols, vals = random_coo(rng, 8, 8, dtype)
+    a = sl.from_triples((8, 8), rows, cols, vals).tocsr()
+    a = sl.add(a, sl.eye(8, dtype=dtype).scale(8.0)).tocsr()
+    f = solve_api.factor(a)
+    sign, logabs = solve_api.slogdet(f)
+    ref_sign, ref_logabs = np.linalg.slogdet(np.asarray(a.todense()))
+    np.testing.assert_allclose(logabs, ref_logabs, rtol=1e-10)
+    np.testing.assert_allclose(sign, ref_sign, rtol=1e-10)
+    np.testing.assert_allclose(
+        solve_api.det(f), np.linalg.det(np.asarray(a.todense())), rtol=1e-9
+    )
+    r = solve_api.rcond(f)
+    assert 0 < float(r) <= 1.0
+    # identity factors: det 1, rcond 1
+    fi = solve_api.factor(sl.eye(8, dtype=dtype))
+    si, li = solve_api.slogdet(fi)
+    np.testing.assert_allclose(si, 1.0)
+    np.testing.assert_allclose(li, 0.0, atol=1e-14)
+    np.testing.assert_allclose(solve_api.rcond(fi), 1.0)
+
+
+def test_slogdet_multifrontal(rng):
+    """Multifrontal pivots reproduce the global determinant: LU path on an
+    unsymmetric operator (local pivot-permutation parities included) and
+    the Cholesky path on SPD Poisson (det = prod diag^2)."""
+    from sparse_linear_tpu.solve import multifrontal as mf
+
+    g = 8
+    a = poisson_2d(g, dtype=np.float64)
+    dense = np.asarray(a.todense())
+    ref_sign, ref_logabs = np.linalg.slogdet(dense)
+    sym = mf.analyze(a, dims=(g, g))
+    for kind in ("cholesky", "lu"):
+        f = mf.factor(a, sym, kind=kind)
+        sign, logabs = solve_api.slogdet(f)
+        np.testing.assert_allclose(float(logabs), ref_logabs, rtol=1e-10)
+        np.testing.assert_allclose(float(sign), ref_sign)
+        r = float(solve_api.rcond(f))
+        assert 0 < r <= 1.0
+    # unsymmetric (convection-dominated): pivot parities carry the sign
+    cc = 1.2
+    rows, cols, vals = [], [], []
+    for i in range(g):
+        for j in range(g):
+            k0 = i * g + j
+            rows.append(k0), cols.append(k0), vals.append(4.0)
+            if j > 0:
+                rows.append(k0), cols.append(k0 - 1), vals.append(-1.0 - cc)
+            if j < g - 1:
+                rows.append(k0), cols.append(k0 + 1), vals.append(-1.0 + cc)
+            if i > 0:
+                rows.append(k0), cols.append(k0 - g), vals.append(-1.0 - cc)
+            if i < g - 1:
+                rows.append(k0), cols.append(k0 + g), vals.append(-1.0 + cc)
+    c = sl.from_triples(
+        (g * g, g * g), rows, cols, np.array(vals, dtype=np.float64)
+    ).tocsr()
+    dense_c = np.asarray(c.todense())
+    ref_sign, ref_logabs = np.linalg.slogdet(dense_c)
+    fc = mf.factor(c, mf.analyze(c, dims=(g, g)), kind="lu")
+    sign, logabs = solve_api.slogdet(fc)
+    np.testing.assert_allclose(float(logabs), ref_logabs, rtol=1e-10)
+    np.testing.assert_allclose(float(sign), ref_sign)
+
+
+def test_slogdet_batched(rng):
+    """Batched shifted factorizations (the FEAST contour set) report per-set
+    determinants — (ne,) arrays from one artifact."""
+    n = 20
+    a = laplacian_1d(n, dtype=np.float64)
+    shifts = [0.1, 0.7, 2.9]
+    sym = solve_api.analyze(a)
+    pattern = sl.lin(1.0, a, -shifts[0], sl.eye(n, dtype=jnp.float64))
+    stacks = []
+    for s in shifts:
+        m = sl.lin(1.0, a, -s, sl.eye(n, dtype=jnp.float64))
+        stacks.append(np.asarray(m.data))
+    fb = solve_api.factor_batched(pattern, np.stack(stacks), sym)
+    sign, logabs = solve_api.slogdet(fb)
+    assert sign.shape == (3,) and logabs.shape == (3,)
+    for i, s in enumerate(shifts):
+        m = sl.lin(1.0, a, -s, sl.eye(n, dtype=jnp.float64))
+        rs, rl = np.linalg.slogdet(np.asarray(m.todense()))
+        np.testing.assert_allclose(logabs[i], rl, rtol=1e-10)
+        np.testing.assert_allclose(sign[i], rs)
+
+
 def test_batched_rhs(rng, dtype):
     a = poisson_2d(5, dtype=np.float64)
     if np.issubdtype(dtype, np.complexfloating):
