@@ -54,6 +54,8 @@ __all__ = [
     "slogdet",
     "det",
     "rcond",
+    "get_factors",
+    "lunz",
     "SolveInfo",
 ]
 
@@ -341,6 +343,58 @@ def rcond(factors: Factors):
 
         return multifrontal.rcond(factors)
     raise ValueError(f"unknown backend: {factors.backend}")
+
+
+def get_factors(factors: Factors, index: int | None = None):
+    """Export the triangular factors as sparse matrices — UMFPACK's
+    ``umfpack_*_get_numeric`` capability (umfpack.h; the reference binds
+    only the opaque solve entry points, Internal.hs:69-148).
+
+    Returns ``(L, U, row_perm, col_perm)`` with L unit-lower / U upper CSR
+    (Cholesky: L non-unit, U = L^H) satisfying
+
+        (L @ U).todense() == A.todense()[np.ix_(row_perm, col_perm)]
+
+    ``index`` selects one value-set of a batched artifact.  Host-side
+    introspection/interop API."""
+    if factors.backend == "dense":
+        from sparse_linear_tpu.formats.matrix import from_triples
+
+        lu, piv = factors.payload
+        ne = getattr(factors, "batch", None)
+        if ne is not None and index is None:
+            raise ValueError(
+                f"get_factors: batched factors — pass index in [0, {ne})"
+            )
+        lu_np = np.asarray(lu)
+        piv_np = np.asarray(piv)
+        if ne is not None:
+            lu_np, piv_np = lu_np[index], piv_np[index]
+        n = lu_np.shape[-1]
+        l_np = np.tril(lu_np, -1) + np.eye(n, dtype=lu_np.dtype)
+        u_np = np.triu(lu_np)
+        # LAPACK ipiv (sequential swaps) -> row order: A[row_perm] = L U
+        row_perm = np.arange(n)
+        for i, pi in enumerate(piv_np):
+            row_perm[[i, pi]] = row_perm[[pi, i]]
+
+        def to_csr(d):
+            r, c = np.nonzero(d)
+            return from_triples((n, n), r, c, d[r, c]).tocsr()
+
+        return to_csr(l_np), to_csr(u_np), row_perm, np.arange(n)
+    if factors.backend == "multifrontal":
+        from sparse_linear_tpu.solve import multifrontal
+
+        return multifrontal.get_factors(factors, index=index)
+    raise ValueError(f"unknown backend: {factors.backend}")
+
+
+def lunz(factors: Factors, index: int | None = None):
+    """(lnz, unz): stored entries of the exported L and U — UMFPACK's
+    ``umfpack_*_get_lunz`` (umfpack.h)."""
+    L, U, _, _ = get_factors(factors, index=index)
+    return int(L.nnz), int(U.nnz)
 
 
 def residual_norm(mat, x, b, trans: bool = False):

@@ -49,7 +49,8 @@ from sparse_linear_tpu.formats.matrix import CSR
 from sparse_linear_tpu.ops.build import trim
 
 __all__ = ["analyze", "factor", "factor_batched", "solve", "solve_batched",
-           "slogdet", "rcond", "MFSymbolic", "MFFactors"]
+           "slogdet", "rcond", "get_factors", "lunz",
+           "MFSymbolic", "MFFactors"]
 
 
 def _class_of(x: int, lo: int = 8) -> int:
@@ -898,6 +899,134 @@ def rcond(factors: MFFactors):
     if factors.kind == "cholesky":
         r = r * r
     return r
+
+
+def get_factors(factors: MFFactors, index: int | None = None):
+    """Export the global sparse triangular factors — the capability of
+    UMFPACK's ``umfpack_*_get_numeric`` (umfpack.h; the reference binds only
+    the opaque solve entry points, Internal.hs:69-148).
+
+    Returns ``(L, U, row_perm, col_perm)`` with L, U canonical CSR such that
+
+        (L @ U).todense() == A.todense()[np.ix_(row_perm, col_perm)]
+
+    up to factorization rounding.  For ``kind="lu"`` L is unit lower
+    triangular (explicit unit diagonal stored) and U upper triangular with
+    the pivots; for ``kind="cholesky"`` L is the (non-unit) Cholesky factor
+    and U = L^H.  ``col_perm`` is the fill-reducing order; ``row_perm``
+    composes it with the in-front partial-pivot permutations.
+
+    Identity padding never leaks: padded pivot slots factor to exact
+    identity, padded cross blocks are exact zeros, and — because a padded
+    front is exactly block-diagonal [real | I] — partial pivoting cannot
+    promote a padding row over a real column, so masking by each bucket's
+    real sizes recovers the true factors.
+
+    ``index`` selects one value-set of a ``factor_batched`` artifact.
+    Host-side export (device pull + O(factor nnz) assembly): an
+    introspection/interop API, not a solver path."""
+    sym = factors.symbolic
+    n = sym.n
+    chol = factors.kind == "cholesky"
+    ne = getattr(factors, "batch", None)
+    if ne is not None and index is None:
+        raise ValueError(
+            "get_factors: batched factors — pass index=<contour set> "
+            f"in [0, {ne})"
+        )
+    flat = sym.schedule["flat"]
+
+    def pull(x):
+        x = np.asarray(x)
+        return x[index] if ne is not None else x
+
+    # elimination index: fill position -> final pivot position.  Fill row
+    # piv[t, lp[t, i]] is eliminated at position piv[t, i] (the solve
+    # gathers y[piv] then applies the local perm, multifrontal solve above).
+    eindex = np.arange(n + 1, dtype=np.int64)
+    if not chol:
+        for bidx, b in enumerate(flat):
+            lp = pull(factors.blocks[bidx]["perm"]).astype(np.int64)
+            piv = b["rows_piv"].astype(np.int64)
+            real = np.arange(lp.shape[1])[None, :] < b["ns_real"][:, None]
+            src = np.take_along_axis(piv, lp, axis=1)
+            eindex[src[real]] = piv[real]
+
+    rL, cL, vL = [], [], []
+    rU, cU, vU = [], [], []
+    for bidx, b in enumerate(flat):
+        blk = factors.blocks[bidx]
+        lu = pull(blk["lu"])
+        g12 = pull(blk["g12"])
+        g21 = pull(blk["g21"])
+        piv = b["rows_piv"].astype(np.int64)   # (nb, Ns): fill == elim slots
+        upd = b["rows_upd"].astype(np.int64)   # (nb, Us), sentinel n
+        nsr = b["ns_real"].astype(np.int64)
+        nb, Ns = piv.shape
+        Us = upd.shape[1]
+        ar = np.arange(Ns)
+        rmask = ar[None, :] < nsr[:, None]     # (nb, Ns) real pivot slots
+        umask = upd < n                        # (nb, Us) real update rows
+
+        # L11: strict lower + explicit unit diag (LU) / lower incl diag (chol)
+        li, lj = np.tril_indices(Ns, 0 if chol else -1)
+        m = rmask[:, li] & rmask[:, lj]
+        v = lu[:, li, lj]
+        m &= v != 0
+        rL.append(piv[:, li][m])
+        cL.append(piv[:, lj][m])
+        vL.append(v[m])
+        if not chol:
+            rL.append(piv[rmask])
+            cL.append(piv[rmask])
+            vL.append(np.ones(int(rmask.sum()), dtype=lu.dtype))
+
+        # U11: upper incl diag (LU) / L11^H transposed (chol)
+        ui, uj = np.triu_indices(Ns) if not chol else (lj, li)
+        m = rmask[:, ui] & rmask[:, uj]
+        v = lu[:, uj, ui] if chol else lu[:, ui, uj]
+        if chol:
+            v = np.conj(v)
+        m &= v != 0
+        rU.append(piv[:, ui][m])
+        cU.append(piv[:, uj][m])
+        vU.append(v[m])
+
+        if Us and g21.size:
+            # L21: rows are update rows -> final elimination positions
+            ii, jj = np.indices((Us, Ns))
+            m = umask[:, ii] & rmask[:, jj]
+            v = g21[:, ii, jj]
+            m &= v != 0
+            rL.append(eindex[np.clip(upd, 0, n)][:, ii][m])
+            cL.append(piv[:, jj][m])
+            vL.append(v[m])
+            # U12: columns are update rows (fill positions; columns are
+            # never permuted)
+            m = rmask[:, jj.T] & umask[:, ii.T]
+            v = g12[:, jj.T, ii.T]
+            m &= v != 0
+            rU.append(piv[:, jj.T][m])
+            cU.append(upd[:, ii.T][m])
+            vU.append(v[m])
+
+    from sparse_linear_tpu.formats.matrix import from_triples
+
+    cat = lambda xs: (np.concatenate(xs) if xs
+                      else np.zeros(0, dtype=np.int64))
+    L = from_triples((n, n), cat(rL), cat(cL), cat(vL)).tocsr()
+    U = from_triples((n, n), cat(rU), cat(cU), cat(vU)).tocsr()
+    perm = np.asarray(sym.perm, dtype=np.int64)
+    einv = np.empty(n, dtype=np.int64)
+    einv[eindex[:n]] = np.arange(n)
+    return L, U, perm[einv], perm.copy()
+
+
+def lunz(factors: MFFactors, index: int | None = None):
+    """(lnz, unz): stored entries of the exported L and U factors —
+    UMFPACK's ``umfpack_*_get_lunz`` (umfpack.h)."""
+    L, U, _, _ = get_factors(factors, index=index)
+    return int(L.nnz), int(U.nnz)
 
 
 def solve(factors: MFFactors, b, trans: bool = False):

@@ -177,6 +177,95 @@ def test_slogdet_batched(rng):
         np.testing.assert_allclose(sign[i], rs)
 
 
+def _check_lu_export(f, dense, index=None, tol=1e-10):
+    L, U, rp, cp = solve_api.get_factors(f, index=index)
+    Ld = np.asarray(L.todense())
+    Ud = np.asarray(U.todense())
+    ref = dense[np.ix_(rp, cp)]
+    scale = max(float(np.max(np.abs(ref))), 1e-30)
+    assert float(np.max(np.abs(Ld @ Ud - ref))) / scale < tol
+    assert np.allclose(np.triu(Ld, 1), 0)   # L lower triangular
+    assert np.allclose(np.tril(Ud, -1), 0)  # U upper triangular
+    lnz, unz = solve_api.lunz(f) if index is None else (L.nnz, U.nnz)
+    assert lnz == L.nnz and unz == U.nnz
+    return Ld, Ud
+
+
+def test_get_factors_dense(rng, dtype):
+    """UMFPACK get_numeric/get_lunz analogs: exported L, U reproduce the
+    row/col-permuted operator exactly (dense backend)."""
+    rows, cols, vals = random_coo(rng, 10, 10, dtype)
+    a = sl.from_triples((10, 10), rows, cols, vals).tocsr()
+    a = sl.add(a, sl.eye(10, dtype=dtype).scale(8.0)).tocsr()
+    f = solve_api.factor(a)
+    Ld, _ = _check_lu_export(f, np.asarray(a.todense()))
+    np.testing.assert_allclose(np.diagonal(Ld), 1.0)  # unit lower
+
+
+def test_get_factors_multifrontal(rng):
+    """Exported multifrontal factors: Cholesky (U = L^H) and restricted-
+    pivoting LU (row_perm composes fill order with in-front pivots) both
+    reproduce A[ix_(rp, cp)]; identity padding never leaks entries."""
+    from sparse_linear_tpu.solve import multifrontal as mf
+
+    g = 8
+    a = poisson_2d(g, dtype=np.float64)
+    dense = np.asarray(a.todense())
+    sym = mf.analyze(a, dims=(g, g))
+    for kind in ("cholesky", "lu"):
+        f = mf.factor(a, sym, kind=kind)
+        Ld, Ud = _check_lu_export(f, dense)
+        if kind == "cholesky":
+            np.testing.assert_allclose(Ud, Ld.T, atol=1e-14)
+    # unsymmetric convection-dominated operator: local pivot permutations
+    # must be folded into row_perm
+    cc = 1.2
+    rows, cols, vals = [], [], []
+    for i in range(g):
+        for j in range(g):
+            k0 = i * g + j
+            rows.append(k0), cols.append(k0), vals.append(4.0)
+            if j > 0:
+                rows.append(k0), cols.append(k0 - 1), vals.append(-1.0 - cc)
+            if j < g - 1:
+                rows.append(k0), cols.append(k0 + 1), vals.append(-1.0 + cc)
+            if i > 0:
+                rows.append(k0), cols.append(k0 - g), vals.append(-1.0 - cc)
+            if i < g - 1:
+                rows.append(k0), cols.append(k0 + g), vals.append(-1.0 + cc)
+    c = sl.from_triples(
+        (g * g, g * g), rows, cols, np.array(vals, dtype=np.float64)
+    ).tocsr()
+    fc = mf.factor(c, mf.analyze(c, dims=(g, g)), kind="lu")
+    _check_lu_export(fc, np.asarray(c.todense()))
+
+
+def test_get_factors_batched(rng):
+    """Batched artifacts export per-value-set factors via ``index`` on both
+    backends; index omitted raises."""
+    from sparse_linear_tpu.solve import multifrontal as mf
+
+    n = 20
+    a = laplacian_1d(n, dtype=np.float64)
+    shifts = [0.1, 0.7]
+    stacks = np.stack([
+        np.asarray(sl.lin(1.0, a, -s, sl.eye(n, dtype=jnp.float64)).data)
+        for s in shifts
+    ])
+    pattern = sl.lin(1.0, a, -shifts[0], sl.eye(n, dtype=jnp.float64))
+    for backend in ("dense", "multifrontal"):
+        sym = solve_api.analyze(pattern, backend=backend)
+        if backend == "dense":
+            fb = solve_api.factor_batched(pattern, stacks, sym)
+        else:
+            fb = mf.factor_batched(stacks, sym)
+        with pytest.raises(ValueError, match="index"):
+            solve_api.get_factors(fb)
+        for i, s in enumerate(shifts):
+            m = sl.lin(1.0, a, -s, sl.eye(n, dtype=jnp.float64))
+            _check_lu_export(fb, np.asarray(m.todense()), index=i)
+
+
 def test_batched_rhs(rng, dtype):
     a = poisson_2d(5, dtype=np.float64)
     if np.issubdtype(dtype, np.complexfloating):
