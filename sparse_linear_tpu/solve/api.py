@@ -139,10 +139,21 @@ def factor(mat, symbolic: Symbolic | None = None, backend: str = "dense",
 
     ``kind`` (multifrontal backend): "lu" for general matrices or
     "cholesky" for SPD ones (3-7x faster fronts on TPU).
+    ``scale`` (multifrontal backend): "sum"/"max" equilibration — UMFPACK's
+    default row scaling (umfpack.h UMFPACK_SCALE_SUM); dense LAPACK LU
+    pivots fully and takes no scale option.
     Jit-compatible for the dense backend (matrix values may be traced)."""
     if symbolic is None:
-        symbolic = analyze(mat, backend=backend, **opts)
+        symbolic = analyze(mat, backend=backend,
+                           **{k: v for k, v in opts.items()
+                              if k not in ("mesh", "batch_axis", "pivot_eps",
+                                           "scale")})
     if symbolic.backend == "dense":
+        if opts.get("scale", "none") != "none":
+            raise ValueError(
+                "scale= equilibration is a multifrontal-backend option "
+                "(dense LAPACK LU pivots fully)"
+            )
         a = mat.todense()
         lu, piv = jax.scipy.linalg.lu_factor(a)
         return Factors(payload=(lu, piv), n=symbolic.n, backend="dense")
@@ -152,7 +163,7 @@ def factor(mat, symbolic: Symbolic | None = None, backend: str = "dense",
         return multifrontal.factor(
             mat, symbolic, kind=kind,
             **{k: v for k, v in opts.items()
-               if k in ("mesh", "batch_axis", "pivot_eps")},
+               if k in ("mesh", "batch_axis", "pivot_eps", "scale")},
         )
     raise ValueError(f"unknown backend: {symbolic.backend}")
 

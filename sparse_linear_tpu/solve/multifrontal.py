@@ -110,6 +110,15 @@ class MFFactors:
         non-finite blocks and solves will return NaNs)."""
         return self.kind == "cholesky" and self.n_flagged > 0
 
+    @property
+    def row_scale(self):
+        """Equilibration vector (UMFPACK's R array from get_numeric,
+        umfpack.h) when factored with ``scale=``, else None.  Original row
+        coordinates; the factorization is of diag(R) A (LU) or
+        diag(R) A diag(R) (Cholesky)."""
+        sc = self.blocks.get(-2)
+        return None if sc is None else np.asarray(sc["rscale"])
+
 
 def _mff_flatten(f):
     keys = sorted(f.blocks.keys())
@@ -368,6 +377,10 @@ def analyze(mat: CSR, ordering: str = "auto", dims=None,
     pattern_key = (int(mat.nnz), int(np.asarray(mat.indices)[:: max(1, mat.nnz // 97)].sum()))
     out = MFSymbolic(n, perm, schedule, pattern_key, a_entry_maps)
     out.relax = (int(relax_small), float(relax_frac))
+    # entry coordinates in canonical CSR order — lets factor()/
+    # factor_batched() equilibrate value-sets without re-deriving them
+    out.entry_rows = e_rows.astype(np.int32)
+    out.entry_cols = e_cols.astype(np.int32)
     return out
 
 
@@ -588,9 +601,42 @@ def _build_factor_fn(symbolic: MFSymbolic, kind: str = "lu", mesh=None,
     return jax.jit(run)
 
 
+def _equilibrate(a_data, symbolic: MFSymbolic, kind: str, scale: str):
+    """Scale the value-set before factorization — UMFPACK's default
+    strategy (UMFPACK_SCALE_SUM / UMFPACK_SCALE_MAX, umfpack.h: each row of
+    PAQ is divided by its absolute sum or max).
+
+    LU kind: row scaling M = R A (exactly UMFPACK's).  Cholesky kind:
+    symmetric scaling M = S A S with S = 1/sqrt(row measure) — preserves
+    positive-definiteness, which one-sided row scaling would destroy.
+    Returns (scaled data, scale vector in ORIGINAL row coordinates); works
+    batched over a leading axis (contour value-sets get per-set scales).
+    Empty rows scale by 1 (UMFPACK's convention for zero row measures)."""
+    n = symbolic.n
+    rows = jnp.asarray(symbolic.entry_rows)
+    cols = jnp.asarray(symbolic.entry_cols)
+    mag = jnp.abs(a_data)
+    if scale == "sum":
+        meas = jnp.zeros(a_data.shape[:-1] + (n,), mag.dtype
+                         ).at[..., rows].add(mag)
+    elif scale == "max":
+        meas = jnp.zeros(a_data.shape[:-1] + (n,), mag.dtype
+                         ).at[..., rows].max(mag)
+    else:
+        raise ValueError(f"unknown scale mode: {scale!r} "
+                         "(expected 'sum', 'max', or 'none')")
+    r = jnp.where(meas > 0, 1.0 / jnp.maximum(meas, jnp.finfo(mag.dtype).tiny),
+                  1.0)
+    if kind == "cholesky":
+        s = jnp.sqrt(r)
+        return a_data * (s[..., rows] * s[..., cols]).astype(a_data.dtype), s
+    return a_data * r[..., rows].astype(a_data.dtype), r
+
+
 def factor(mat: CSR, symbolic: MFSymbolic, kind: str = "lu",
            mesh=None, batch_axis: str | None = None,
-           pivot_eps: float | None = None) -> MFFactors:
+           pivot_eps: float | None = None,
+           scale: str = "none") -> MFFactors:
     """Numeric factorization over the symbolic schedule (one compiled XLA
     program; compile cost amortized across factorizations of the pattern).
 
@@ -598,6 +644,13 @@ def factor(mat: CSR, symbolic: MFSymbolic, kind: str = "lu",
     matrices) or "cholesky" (SPD matrices: 3-7x faster fronts on TPU, the
     CHOLMOD-analog path; fails with NaNs if the matrix is not positive
     definite — pair with solve_refined, whose residual check catches it).
+
+    ``scale``: "sum" or "max" enables equilibration before factorization —
+    UMFPACK's default row scaling (umfpack.h UMFPACK_SCALE_SUM; symmetric
+    sqrt scaling on the Cholesky path to preserve SPD).  Improves pivot
+    quality on badly row-scaled systems, exactly where restricted in-front
+    pivoting is weakest; solves transparently unscale.  Default "none"
+    keeps the factors those of A itself.
 
     ``mesh``: shard each bucket's independent fronts over the mesh axis
     ``batch_axis`` (multi-chip multifrontal — XLA inserts the extend-add
@@ -614,6 +667,9 @@ def factor(mat: CSR, symbolic: MFSymbolic, kind: str = "lu",
         )
     dm = _device_maps(symbolic)
     a_data = jnp.asarray(mat.data)
+    rscale = None
+    if scale != "none":
+        a_data, rscale = _equilibrate(a_data, symbolic, kind, scale)
     peps = float(pivot_eps) if pivot_eps else 0.0
     fkey = (_sym_cache_key(symbolic), "factor", str(a_data.dtype), kind,
             id(mesh) if mesh is not None else None, batch_axis, peps)
@@ -622,6 +678,9 @@ def factor(mat: CSR, symbolic: MFSymbolic, kind: str = "lu",
                                                 batch_axis=batch_axis,
                                                 pivot_eps=peps)
     blocks = _PROGRAM_CACHE[fkey](a_data, dm)
+    if rscale is not None:
+        blocks = dict(blocks)
+        blocks[-2] = {"rscale": rscale}  # scaling pseudo-bucket
     return MFFactors(symbolic, blocks, a_data.dtype, kind=kind)
 
 
@@ -663,6 +722,15 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool, kind: str = "lu"):
 
     def _run(blocks, b, dm):
         k = b.shape[1]
+        # equilibrated factors (factor(..., scale=)): the factorization is
+        # of M = R A (LU row scaling) or M = S A S (Cholesky symmetric
+        # scaling), so A x = b becomes M x = R b / M (S^-1 x) = S b, and
+        # A^H x = b becomes M^H y = b with x = R y.  Scale vectors live in
+        # ORIGINAL row coordinates — apply before the fill-order gather /
+        # after the inverse gather.
+        sc = blocks.get(-2)
+        if sc is not None and (chol or not trans):
+            b = b * sc["rscale"][:, None]
         # y carries an extra sentinel row (index n) absorbing padded gathers
         y = jnp.concatenate(
             [b[dm["perm"]], jnp.zeros((1, k), b.dtype)], axis=0
@@ -750,13 +818,16 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool, kind: str = "lu"):
                         ].set(v)
                     y = y.at[piv].set(x, mode="drop")
 
-        return y[:n][dm["iperm"]]
+        x = y[:n][dm["iperm"]]
+        if sc is not None and (chol or trans):
+            x = x * sc["rscale"][:, None]
+        return x
 
     return jax.jit(run)
 
 
 def factor_batched(data_stack, symbolic: MFSymbolic,
-                   kind: str = "lu") -> MFFactors:
+                   kind: str = "lu", scale: str = "none") -> MFFactors:
     """Batched numeric factorization: ``data_stack`` of shape (ne, nnz) holds
     ne value-sets over the SAME pattern (e.g. FEAST's shifted matrices
     z_k B - A, reference Feast.hs:214-218 done one-at-a-time there).  The
@@ -768,6 +839,9 @@ def factor_batched(data_stack, symbolic: MFSymbolic,
     if data_stack.ndim != 2:
         raise ValueError("factor_batched: expected (ne, nnz) data stack")
     dm = _device_maps(symbolic)
+    rscale = None
+    if scale != "none":
+        data_stack, rscale = _equilibrate(data_stack, symbolic, kind, scale)
     fkey = (_sym_cache_key(symbolic), "factor_batched",
             str(data_stack.dtype), kind)
     if fkey not in _PROGRAM_CACHE:
@@ -776,6 +850,9 @@ def factor_batched(data_stack, symbolic: MFSymbolic,
             jax.vmap(lambda d, m: base.__wrapped__(d, m), in_axes=(0, None))
         )
     blocks = _PROGRAM_CACHE[fkey](data_stack, dm)
+    if rscale is not None:
+        blocks = dict(blocks)
+        blocks[-2] = {"rscale": rscale}  # (ne, n) per-set scaling
     out = MFFactors(symbolic, blocks, data_stack.dtype, kind=kind)
     out.batch = int(data_stack.shape[0])
     return out
@@ -871,6 +948,12 @@ def slogdet(factors: MFFactors):
             )
     if chol:
         logabs = 2.0 * logabs
+    sc = factors.blocks.get(-2)
+    if sc is not None:
+        # factors are of R A (LU) or S A S (Cholesky), R/S positive
+        # diagonal: det A = det M / det(R or S^2)
+        corr = np.sum(np.log(np.asarray(sc["rscale"])), axis=-1)
+        logabs = logabs - (2.0 * corr if chol else corr)
     if not np.issubdtype(sign.dtype, np.complexfloating):
         sign = np.where(logabs == -np.inf, 0.0, sign)
     return sign, logabs
@@ -923,8 +1006,11 @@ def get_factors(factors: MFFactors, index: int | None = None):
     real sizes recovers the true factors.
 
     ``index`` selects one value-set of a ``factor_batched`` artifact.
-    Host-side export (device pull + O(factor nnz) assembly): an
-    introspection/interop API, not a solver path."""
+    Equilibrated factorizations (``factor(..., scale=)``) export the
+    factors of the SCALED operator — recover A's factors by composing with
+    ``factors.row_scale`` (UMFPACK's convention: get_numeric returns R
+    alongside L and U).  Host-side export (device pull + O(factor nnz)
+    assembly): an introspection/interop API, not a solver path."""
     sym = factors.symbolic
     n = sym.n
     chol = factors.kind == "cholesky"

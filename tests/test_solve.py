@@ -266,6 +266,80 @@ def test_get_factors_batched(rng):
             _check_lu_export(fb, np.asarray(m.todense()), index=i)
 
 
+def test_equilibration(rng):
+    """UMFPACK-style row scaling (umfpack.h UMFPACK_SCALE_SUM): on a badly
+    row-scaled unsymmetric system the scaled factorization's plain solve is
+    orders of magnitude more accurate than unscaled restricted pivoting;
+    all solve modes transparently unscale; slogdet/get_factors account for
+    the scaling."""
+    from sparse_linear_tpu.solve import multifrontal as mf
+
+    g = 8
+    n = g * g
+    rng = np.random.default_rng(1)  # pinned: improvement factor is seed-dependent
+    dense = np.asarray(poisson_2d(g, dtype=np.float64).todense())
+    rows_sc = 10.0 ** rng.uniform(-5, 5, n)
+    bad = dense * rows_sc[:, None]
+    r0, c0 = np.nonzero(bad)
+    a = sl.from_triples((n, n), r0, c0, bad[r0, c0]).tocsr()
+    sym = mf.analyze(a, dims=(g, g))
+    b = rng.standard_normal(n)
+
+    f0 = mf.factor(a, sym, kind="lu", scale="none")
+    res0 = np.linalg.norm(bad @ np.asarray(mf.solve(f0, jnp.asarray(b))) - b)
+    assert f0.row_scale is None
+    for scale in ("sum", "max"):
+        f = mf.factor(a, sym, kind="lu", scale=scale)
+        assert f.row_scale is not None and f.row_scale.shape == (n,)
+        x = mf.solve(f, jnp.asarray(b))
+        res = np.linalg.norm(bad @ np.asarray(x) - b)
+        assert res < res0 / 10  # scaling rescues restricted pivoting
+        # trans mode unscales on the way out
+        xh = mf.solve(f, jnp.asarray(b), trans=True)
+        resh = np.linalg.norm(bad.T @ np.asarray(xh) - b) / np.linalg.norm(b)
+        assert resh < 1e-8
+        # determinant correction: det A = det(R A) / det R
+        sgn, logabs = solve_api.slogdet(f)
+        ref_s, ref_l = np.linalg.slogdet(bad)
+        np.testing.assert_allclose(float(logabs), ref_l, rtol=1e-9)
+        np.testing.assert_allclose(float(np.real(sgn)), ref_s)
+        # exported factors are of the SCALED operator
+        L, U, rp, cp = solve_api.get_factors(f)
+        scaled = f.row_scale[:, None] * bad
+        err = np.max(np.abs(
+            np.asarray(L.todense()) @ np.asarray(U.todense())
+            - scaled[np.ix_(rp, cp)]
+        ))
+        assert err < 1e-12 * np.max(np.abs(scaled))
+
+    # Cholesky path: symmetric scaling preserves SPD
+    d = 10.0 ** rng.uniform(-3, 3, n)
+    spd = d[:, None] * dense * d[None, :]
+    r0, c0 = np.nonzero(spd)
+    s_mat = sl.from_triples((n, n), r0, c0, spd[r0, c0]).tocsr()
+    fs = mf.factor(s_mat, mf.analyze(s_mat, dims=(g, g)),
+                   kind="cholesky", scale="sum")
+    assert not fs.breakdown
+    x = mf.solve(fs, jnp.asarray(b))
+    assert np.linalg.norm(spd @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-8
+    sgn, logabs = solve_api.slogdet(fs)
+    np.testing.assert_allclose(float(logabs), np.linalg.slogdet(spd)[1],
+                               rtol=1e-9)
+
+    # batched value-sets get per-set scales
+    data0 = np.asarray(a.data)
+    fb = mf.factor_batched(np.stack([data0, 2.0 * data0]), sym, scale="sum")
+    assert fb.row_scale.shape == (2, n)
+    xb = mf.solve_batched(fb, np.stack([b[:, None]] * 2))
+    for e, m in enumerate((bad, 2.0 * bad)):
+        res = np.linalg.norm(m @ np.asarray(xb[e][:, 0]) - b)
+        assert res / np.linalg.norm(b) < 1e-6
+
+    # dense backend: no scale option (full pivoting)
+    with pytest.raises(ValueError, match="multifrontal"):
+        solve_api.factor(a, backend="dense", scale="sum")
+
+
 def test_batched_rhs(rng, dtype):
     a = poisson_2d(5, dtype=np.float64)
     if np.issubdtype(dtype, np.complexfloating):
