@@ -56,6 +56,7 @@ __all__ = [
     "rcond",
     "get_factors",
     "lunz",
+    "condest",
     "SolveInfo",
 ]
 
@@ -354,6 +355,41 @@ def rcond(factors: Factors):
 
         return multifrontal.rcond(factors)
     raise ValueError(f"unknown backend: {factors.backend}")
+
+
+def condest(factors: Factors, mat, itmax: int = 5):
+    """1-norm condition estimate kappa_1(A) ~= ||A||_1 * est(||A^-1||_1)
+    via the Hager-Higham power method on the factor solves (the LAPACK
+    ``gecon``-class diagnostic; a sharper companion to the pivot-ratio
+    ``rcond`` UMFPACK reports in Info).  Each iteration costs one solve
+    with A and one with A^H — both reuse the factorization.  The estimate
+    is a lower bound on kappa_1, in practice within a small factor."""
+    n = factors.n
+    csr = mat.tocsr()
+    data = np.abs(np.asarray(csr.data))
+    colsums = np.zeros(n)
+    np.add.at(colsums, np.asarray(csr.indices), data)
+    anorm = float(colsums.max()) if n else 0.0
+
+    dt = jnp.asarray(csr.data).dtype
+    x = jnp.full((n,), 1.0 / n, dtype=dt)
+    est = 0.0
+    prev_j = -1
+    for _ in range(max(1, itmax)):
+        y = solve(factors, x)
+        # ||x||_1 == 1 throughout, so est = ||A^-1 x||_1 is always a valid
+        # lower bound on ||A^-1||_1 — the loop only sharpens it
+        est = max(est, float(jnp.sum(jnp.abs(y))))
+        absy = jnp.abs(y)
+        xi = jnp.where(absy == 0, 1.0, y / jnp.where(absy == 0, 1.0, absy))
+        z = np.asarray(solve(factors, xi.astype(dt), trans="H"))
+        zabs = np.abs(z)
+        j = int(np.argmax(zabs))
+        if zabs[j] <= float(np.real(np.vdot(z, np.asarray(x)))) or j == prev_j:
+            break
+        prev_j = j
+        x = jnp.zeros((n,), dt).at[j].set(1.0)
+    return anorm * est
 
 
 def get_factors(factors: Factors, index: int | None = None):

@@ -266,6 +266,32 @@ def test_get_factors_batched(rng):
             _check_lu_export(fb, np.asarray(m.todense()), index=i)
 
 
+def test_condest(rng, dtype):
+    """Hager-Higham 1-norm condition estimate off the factor solves (the
+    LAPACK gecon-class companion to UMFPACK's Info[RCOND]): a guaranteed
+    lower bound, sharp on these operators; scaled factors estimate the
+    TRUE operator because solves unscale."""
+    from sparse_linear_tpu.solve import multifrontal as mf
+
+    n = 24
+    a_d = rng.standard_normal((n, n)).astype(dtype)
+    if np.issubdtype(dtype, np.complexfloating):
+        a_d = a_d + 1j * rng.standard_normal((n, n)).astype(dtype)
+    a_d += 5 * np.eye(n, dtype=dtype)
+    r, c = np.nonzero(a_d)
+    a = sl.from_triples((n, n), r, c, a_d[r, c]).tocsr()
+    est = solve_api.condest(solve_api.factor(a), a)
+    true = float(np.real(np.linalg.cond(a_d, 1)))
+    assert est <= true * 1.001 and est > true / 10
+
+    g = 8
+    p = poisson_2d(g, dtype=np.float64)
+    f = mf.factor(p, mf.analyze(p, dims=(g, g)), kind="cholesky")
+    est = solve_api.condest(f, p)
+    true = np.linalg.cond(np.asarray(p.todense()), 1)
+    assert est <= true * 1.001 and est > true / 10
+
+
 def test_equilibration(rng):
     """UMFPACK-style row scaling (umfpack.h UMFPACK_SCALE_SUM): on a badly
     row-scaled unsymmetric system the scaled factorization's plain solve is
