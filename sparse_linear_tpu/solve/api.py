@@ -57,6 +57,7 @@ __all__ = [
     "get_factors",
     "lunz",
     "condest",
+    "solve_gmres",
     "SolveInfo",
 ]
 
@@ -294,6 +295,88 @@ def solve_refined(factors: Factors, mat, b, trans: bool = False,
         x = x + dx.astype(hi)
     return x, SolveInfo(residual_norm=rnorm, refinement_steps=steps,
                         tol=float(tol))
+
+
+def solve_gmres(factors: Factors, mat, b, trans: bool = False,
+                tol: float = 1e-10, restart: int = 30,
+                max_outer: int = 10, residual_dtype=jnp.float64):
+    """Right-preconditioned (F)GMRES with the factorization as the
+    preconditioner — the fallback when stationary refinement
+    (``solve_refined``) stalls: GMRES converges whenever the preconditioned
+    spectrum is clustered, even if the refinement iteration matrix has
+    spectral radius >= 1 (statically perturbed pivots on indefinite
+    systems, aggressive ``pivot_eps``).
+
+    Each inner step costs one factor solve + one SpMV in
+    ``residual_dtype``; the Arnoldi recurrence runs on host in f64 (the
+    basis is (restart+1) device vectors).  Returns (x, SolveInfo)."""
+    b = jnp.asarray(b)
+    if b.ndim != 1:
+        raise ValueError("solve_gmres: expected a single RHS (n,); loop "
+                         "columns or use solve_refined for blocks")
+    mode = _trans_mode(trans)
+    op = {"N": lambda: mat,
+          "H": lambda: mat.ctrans().tocsr(),
+          "T": lambda: mat.T.tocsr()}[mode]()
+    trans = {"N": False, "H": True, "T": "T"}[mode]
+    hi = jnp.promote_types(residual_dtype, b.dtype)
+    b_hi = b.astype(hi)
+    bnorm = float(jnp.linalg.norm(b_hi))
+    if bnorm == 0.0:
+        return jnp.zeros_like(b_hi), SolveInfo(
+            residual_norm=jnp.zeros((), hi), refinement_steps=0,
+            tol=float(tol))
+    cplx = np.issubdtype(np.dtype(hi), np.complexfloating)
+    hdt = np.complex128 if cplx else np.float64
+
+    def psolve(v):
+        return solve(factors, v.astype(b.dtype), trans=trans).astype(hi)
+
+    x = psolve(b_hi)
+    rnorm = np.inf
+    steps = 0
+    for _ in range(max_outer):
+        r = b_hi - spmv(op, x)
+        beta = float(jnp.linalg.norm(r))
+        rnorm = beta / bnorm
+        if rnorm <= tol:
+            break
+        v = [r / beta]
+        z = []
+        h = np.zeros((restart + 1, restart), dtype=hdt)
+        j_used = 0
+        for j in range(restart):
+            zj = psolve(v[j])
+            z.append(zj)
+            w = spmv(op, zj)
+            for i in range(j + 1):
+                hij = complex(jnp.vdot(v[i], w)) if cplx else float(
+                    jnp.vdot(v[i], w))
+                h[i, j] = hij
+                w = w - hij * v[i]
+            hlast = float(jnp.linalg.norm(w))
+            h[j + 1, j] = hlast
+            j_used = j + 1
+            steps += 1
+            # small-residual estimate via the Arnoldi least-squares problem
+            e1 = np.zeros(j_used + 1, dtype=hdt)
+            e1[0] = beta
+            y, res_ls, *_ = np.linalg.lstsq(h[: j_used + 1, :j_used], e1,
+                                            rcond=None)
+            est = float(np.linalg.norm(
+                e1 - h[: j_used + 1, :j_used] @ y))
+            if est / bnorm <= tol or hlast == 0.0:
+                break
+            v.append(w / hlast)
+        e1 = np.zeros(j_used + 1, dtype=hdt)
+        e1[0] = beta
+        y, *_ = np.linalg.lstsq(h[: j_used + 1, :j_used], e1, rcond=None)
+        for i in range(j_used):
+            x = x + y[i] * z[i]
+    r = b_hi - spmv(op, x)
+    rnorm = float(jnp.linalg.norm(r)) / bnorm
+    return x, SolveInfo(residual_norm=jnp.asarray(rnorm),
+                        refinement_steps=steps, tol=float(tol))
 
 
 def slogdet(factors: Factors):

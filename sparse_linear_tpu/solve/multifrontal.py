@@ -435,9 +435,9 @@ def _bucket_factor(front, ns_class, pivot_eps: float = 0.0):
     pivot_eps * max|front| is bumped to that threshold (sign preserved).
     The factorization then stays bounded for indefinite/unsymmetric
     systems, and the O(pivot_eps) backward-error is removed by iterative
-    refinement or the preconditioned-GMRES fallback in
-    solve.api.solve_refined.  ``npert`` counts perturbed pivots for
-    SolveInfo reporting."""
+    refinement (solve.api.solve_refined) or the preconditioned-GMRES
+    fallback (solve.api.solve_gmres).  ``npert`` counts perturbed pivots
+    for SolveInfo reporting."""
     f11 = front[:, :ns_class, :ns_class]
     f12 = front[:, :ns_class, ns_class:]
     f21 = front[:, ns_class:, :ns_class]

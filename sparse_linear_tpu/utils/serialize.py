@@ -59,6 +59,8 @@ def save_factors(path, factors):
             "bucket_ids": np.asarray(sorted(factors.blocks.keys())),
             "kind": factors.kind,
         }
+        if getattr(factors, "batch", None) is not None:
+            payload["batch"] = np.asarray(factors.batch, dtype=np.int64)
         for bidx, blk in factors.blocks.items():
             for name, arr in blk.items():
                 payload[f"b{bidx}__{name}"] = np.asarray(arr)
@@ -102,13 +104,19 @@ def load_factors(path, mat=None):
                 if int(bidx) == -1:  # diagnostics pseudo-bucket (n_flag)
                     blocks[-1] = {"n_flag": jnp.asarray(z["b-1__n_flag"])}
                     continue
+                if int(bidx) == -2:  # equilibration pseudo-bucket
+                    blocks[-2] = {"rscale": jnp.asarray(z["b-2__rscale"])}
+                    continue
                 blk = {}
                 for name in ("lu", "perm", "g21", "g12"):
                     blk[name] = jnp.asarray(z[f"b{bidx}__{name}"])
                 blocks[int(bidx)] = blk
                 dtype = blk["lu"].dtype
             kind = str(z["kind"]) if "kind" in z else "lu"
-            return mf.MFFactors(sym, blocks, dtype, kind=kind)
+            out = mf.MFFactors(sym, blocks, dtype, kind=kind)
+            if "batch" in z:
+                out.batch = int(z["batch"])
+            return out
         raise ValueError(f"unknown backend in checkpoint: {backend}")
 
 

@@ -120,6 +120,29 @@ def test_save_load_multifrontal_factors(tmp_path, rng):
         load_factors(p, mat=poisson_2d(7, dtype=np.float64))
 
 
+def test_save_load_scaled_batched_factors(tmp_path, rng):
+    """Round-trip of the equilibration pseudo-bucket and the batch count:
+    a scaled batched artifact restores to working solves with per-set
+    unscaling intact."""
+    g = 6
+    n = g * g
+    a = poisson_2d(g, dtype=np.float64)
+    sym = mf.analyze(a, dims=(g, g))
+    data0 = np.asarray(a.tocsr().data)
+    fb = mf.factor_batched(np.stack([data0, 3.0 * data0]), sym, scale="sum")
+    p = tmp_path / "mf_scaled.npz"
+    save_factors(p, fb)
+    f2 = load_factors(p, mat=a)
+    assert getattr(f2, "batch", None) == 2
+    np.testing.assert_allclose(f2.row_scale, fb.row_scale)
+    b = rng.standard_normal(n)
+    xb = mf.solve_batched(f2, np.stack([b[:, None]] * 2))
+    dense = np.asarray(a.todense())
+    for e, m in enumerate((dense, 3.0 * dense)):
+        r = np.linalg.norm(m @ np.asarray(xb[e][:, 0]) - b)
+        assert r / np.linalg.norm(b) < 1e-10
+
+
 def test_save_load_subspace(tmp_path):
     from sparse_linear_tpu.eig.feast import FeastParams, eigsh
     from sparse_linear_tpu.utils.grids import laplacian_1d

@@ -366,6 +366,48 @@ def test_equilibration(rng):
         solve_api.factor(a, backend="dense", scale="sum")
 
 
+def test_solve_gmres_fallback():
+    """Right-preconditioned FGMRES on the factors converges where
+    stationary refinement diverges: an indefinite interior-shifted
+    Laplacian factored with an aggressive static pivot perturbation has a
+    refinement iteration matrix with spectral radius > 1, but the
+    preconditioned spectrum stays clustered."""
+    from sparse_linear_tpu.solve import multifrontal as mf
+
+    g = 16
+    n = g * g
+    a = poisson_2d(g, dtype=np.float64)
+    dense = np.asarray(a.todense())
+    ev = np.unique(np.linalg.eigvalsh(dense))
+    gaps = np.diff(ev)
+    k = int(np.argmax(gaps[len(gaps) // 4: 3 * len(gaps) // 4])
+            ) + len(gaps) // 4
+    sigma = (ev[k] + ev[k + 1]) / 2  # widest interior gap: indefinite
+    m = sl.lin(1.0, a, -sigma, sl.eye(n, dtype=jnp.float64)).tocsr()
+    md = dense - sigma * np.eye(n)
+    b = np.random.default_rng(0).standard_normal(n)
+    sym = mf.analyze(m, dims=(g, g))
+    f = mf.factor(m, sym, kind="lu", pivot_eps=0.3)
+
+    _, info_r = solve_api.solve_refined(f, m, jnp.asarray(b), tol=1e-11,
+                                        max_iter=20)
+    assert not info_r.converged  # stationary refinement diverges here
+    x, info_g = solve_api.solve_gmres(f, m, jnp.asarray(b), tol=1e-11)
+    assert info_g.converged
+    assert np.linalg.norm(md @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-10
+
+    # complex operator, all three trans modes solve the right system
+    c = m.map_values(lambda v: (1.0 + 0.2j) * v.astype(np.complex128))
+    cd = (1.0 + 0.2j) * md
+    fc = mf.factor(c, mf.analyze(c, dims=(g, g)), kind="lu", pivot_eps=0.1)
+    bc = b + 1j * np.random.default_rng(1).standard_normal(n)
+    for tr, opd in ((False, cd), (True, cd.conj().T), ("T", cd.T)):
+        x, info = solve_api.solve_gmres(fc, c, jnp.asarray(bc), trans=tr,
+                                        tol=1e-10)
+        res = np.linalg.norm(opd @ np.asarray(x) - bc) / np.linalg.norm(bc)
+        assert res < 1e-9, (tr, res)
+
+
 def test_batched_rhs(rng, dtype):
     a = poisson_2d(5, dtype=np.float64)
     if np.issubdtype(dtype, np.complexfloating):
