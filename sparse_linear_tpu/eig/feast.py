@@ -41,7 +41,8 @@ from sparse_linear_tpu.ops.linalg import lin, spmm
 from sparse_linear_tpu.utils.precision import dot64
 from sparse_linear_tpu.solve import api as solve_api
 
-__all__ = ["FeastParams", "EigResult", "eigsh", "geigsh", "INFO_OK",
+__all__ = ["FeastParams", "EigResult", "eigsh", "geigsh",
+           "count_eigenvalues", "INFO_OK",
            "INFO_NO_EIGENVALUES", "INFO_NOT_CONVERGED", "INFO_SUBSPACE_TOO_SMALL"]
 
 INFO_OK = 0
@@ -918,3 +919,90 @@ def eigsh(m0, interval, mat_a, params: FeastParams = FeastParams(),
     b = eye(mat_a.shape[0], dtype=real_of(mat_a.dtype))
     return geigsh(m0, interval, mat_a, b, params=params, guess=guess,
                   mesh=mesh, contour_axis=contour_axis)
+
+
+def count_eigenvalues(interval, mat_a, mat_b=None, probes: int = 16,
+                      params: FeastParams = FeastParams(),
+                      seed: int = 0) -> float:
+    """Stochastic estimate of the NUMBER of eigenvalues in ``interval`` —
+    FEAST 4.x's stochastic-estimate mode (fpm(14)=2; the reference binds a
+    2.x RCI without it, Feast/Internal.hs:61-73).  Use it to size ``m0``
+    before a full ``eigsh``/``geigsh`` run.
+
+    Hutchinson trace estimator on the spectral projector
+    P = contour integral of (zB - A)^{-1} B: with s Rademacher probes x_i,
+    count ~= (1/s) sum_i x_i^H P x_i, where each P x_i reuses the SAME
+    batched shifted factorizations as the full solver (one per contour
+    node).  Standard error scales like sqrt(count)/sqrt(s) — a handful of
+    probes places the count within a few eigenpairs.
+
+    Real symmetric pencils route through the cached TPU pipeline
+    (eig/real_pipeline.py), so a following ``geigsh`` on the same pencil
+    reuses the factorizations for free; complex Hermitian pencils take the
+    host complex path (CPU factorizations)."""
+    emin, emax = float(interval[0]), float(interval[1])
+    if emax <= emin:
+        raise ValueError("count_eigenvalues: empty interval")
+    n = mat_a.shape[0]
+    if mat_b is None:
+        from sparse_linear_tpu.dtypes import real_of
+        from sparse_linear_tpu.formats.matrix import eye
+
+        mat_b = eye(n, dtype=real_of(mat_a.dtype))
+    in_dtype = np.result_type(mat_a.dtype, mat_b.dtype)
+    real_input = not np.issubdtype(in_dtype, np.complexfloating)
+    if params.check_hermitian:
+        _check_hermitian(mat_a, "A")
+        _check_hermitian(mat_b, "B")
+
+    z_nodes, sigma = _contour(emin, emax, params.contour_points)
+    ne = len(z_nodes)
+    s = int(max(1, probes))
+    rng = np.random.default_rng(seed)
+    x = rng.choice(np.asarray([-1.0, 1.0]), size=(n, s))  # Rademacher
+
+    if real_input:
+        # 2 Re sum_k sigma_k x^T S_k^{-1} (B x): the lower semicircle is the
+        # conjugate for a real symmetric pencil (see _contour), and
+        # x^T S_k^{-H} B x = conj(x^T S_k^{-1} B x) by complex symmetry of
+        # S_k = z_k B - A.
+        from sparse_linear_tpu.eig.real_pipeline import _get_pipeline
+        from sparse_linear_tpu.solve import api as solve_api
+
+        pipe = _get_pipeline(mat_a, mat_b, params.backend, params.dims)
+        fac = pipe.factors_for(z_nodes)
+        progs = pipe.programs(ne, s, z_nodes, sigma)
+        xj = jnp.asarray(x)
+        _, stack = progs["pre"](xj)
+        s32 = solve_api.solve_batched(fac, stack)
+        q, _ = progs["combine_gram"](s32)
+        return float(jnp.sum(jnp.asarray(x) * q) / s)
+
+    # complex Hermitian pencil: host complex factorizations (TPU has no
+    # complex sparse support; counting is a setup-time estimate, so the CPU
+    # path is acceptable and exact in f64)
+    from sparse_linear_tpu.solve import api as solve_api
+
+    cdtype = complex_of(in_dtype)
+    union_b = lin(1.0 + 0.0j, mat_b, 0.0 + 0.0j, mat_a)
+    union_a = lin(0.0 + 0.0j, mat_b, 1.0 + 0.0j, mat_a)
+    data_stack = jnp.asarray(
+        np.asarray(z_nodes)[:, None] * np.asarray(union_b.data)[None, :]
+        - np.asarray(union_a.data)[None, :],
+        dtype=cdtype,
+    )
+    symbolic = solve_api.analyze(
+        union_b, backend=params.backend,
+        **({"dims": params.dims} if params.dims is not None else {}),
+    )
+    fac = solve_api.factor_batched(union_b, data_stack, symbolic)
+    xc = jnp.asarray(x.astype(cdtype))
+    bx = spmm(mat_b.tocsr(), xc)
+    stack = jnp.broadcast_to(bx[None], (ne, n, s))
+    y_n = solve_api.solve_batched(fac, stack)          # S_k^{-1} (B x)
+    y_h = solve_api.solve_batched(fac, stack, trans=True)  # S_k^{-H} (B x)
+    sig = jnp.asarray(np.asarray(sigma))
+    t_n = jnp.einsum("ns,kns->k", jnp.conj(xc), y_n)
+    t_h = jnp.einsum("ns,kns->k", jnp.conj(xc), y_h)
+    est = jnp.sum(sig * t_n) + jnp.sum(jnp.conj(sig) * t_h)
+    return float(jnp.real(est) / s)

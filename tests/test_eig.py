@@ -223,3 +223,41 @@ def test_real_tpu_fast_path_on_cpu():
                             FeastParams(max_loops=6, backend="dense"))
     assert empty.n_found == 0
     clear_pipeline_cache()
+
+
+def test_count_eigenvalues():
+    """FEAST 4.x stochastic estimate (fpm(14)=2 analog): the Hutchinson
+    trace of the spectral projector sizes m0 to within a few pairs, on
+    real-symmetric (pipeline path) and complex-Hermitian (host path)
+    pencils."""
+    from sparse_linear_tpu.eig.feast import count_eigenvalues
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    g = 16
+    a = poisson_2d(g, dtype=np.float64)
+    i = np.arange(1, g + 1)
+    lam1 = 4 * np.sin(i * np.pi / (2 * (g + 1))) ** 2
+    lam2 = np.sort((lam1[:, None] + lam1[None, :]).ravel())
+    k = 30
+    emax = float((lam2[k - 1] + lam2[k]) / 2)
+    est = count_eigenvalues((0.0, emax), a, probes=32,
+                            params=FeastParams(dims=(g, g),
+                                               backend="multifrontal"))
+    assert abs(est - k) < 0.25 * k
+
+    # complex Hermitian + generalized
+    n = 32
+    rng = np.random.default_rng(0)
+    h = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    h = (h + h.conj().T) / 2
+    r, c = np.nonzero(h)
+    ac = sl.from_triples((n, n), r, c, h[r, c]).tocsr()
+    d = rng.uniform(0.5, 2.0, n)
+    bc = sl.from_triples((n, n), np.arange(n), np.arange(n), d).tocsr()
+    gev = np.sort(np.real(np.linalg.eigvals(np.diag(1 / d) @ h)))
+    lo, hi = float((gev[9] + gev[10]) / 2), float((gev[24] + gev[25]) / 2)
+    est = count_eigenvalues((lo, hi), ac, bc, probes=32)
+    assert abs(est - 15) < 5
+
+    with pytest.raises(ValueError, match="empty"):
+        count_eigenvalues((1.0, 0.5), a)
