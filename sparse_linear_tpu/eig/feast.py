@@ -141,6 +141,25 @@ def _contour(emin, emax, ne):
     return z, sigma
 
 
+def _union_shift_stack(mat_a, mat_b, z_nodes, real_input: bool):
+    """Union-pattern pencil matrices + the host shifted-value stack.
+
+    One symbolic analysis serves every contour node (Feast.hs:210-218), so
+    A and B are rewritten onto their union pattern (``lin`` with 0/1
+    coefficients) and the per-node values are z_k * B - A over that shared
+    entry order.  Returns (union_b, union_a, stack) with stack complex on
+    host (embedding/dtype handling is the caller's)."""
+    one = 1.0 if real_input else 1.0 + 0.0j
+    zero = 0.0 if real_input else 0.0 + 0.0j
+    union_b = lin(one, mat_b, zero, mat_a)  # union pattern, B values
+    union_a = lin(zero, mat_b, one, mat_a)  # union pattern, A values
+    stack = (
+        np.asarray(z_nodes)[:, None] * np.asarray(union_b.data)[None, :]
+        - np.asarray(union_a.data)[None, :]
+    )
+    return union_b, union_a, stack
+
+
 def _reduced_geig(aq, bq):
     """Generalized symmetric-definite reduced problem via spectral filtering
     of Bq (robust to rank-deficient subspaces)."""
@@ -554,21 +573,14 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
     z_nodes, sigma = _contour(emin, emax, params.contour_points)
     ne = len(z_nodes)
     opts = {"dims": params.dims} if params.dims is not None else {}
-    # union-pattern matrices carrying B resp. A values; keep them in the
-    # input's real dtype for real pencils
-    one = 1.0 if real_input else 1.0 + 0.0j
-    zero = 0.0 if real_input else 0.0 + 0.0j
     with host_ctx():
-        union_b = lin(one, mat_b, zero, mat_a)  # union pattern, B values
-        union_a = lin(zero, mat_b, one, mat_a)  # union pattern, A values
+        union_b, union_a, data_stack_c = _union_shift_stack(
+            mat_a, mat_b, z_nodes, real_input
+        )
 
     use_embed = params.complex_strategy == "embedded" or (
         params.complex_strategy == "auto"
         and jax.default_backend() not in ("cpu",)
-    )
-    data_stack_c = (
-        np.asarray(z_nodes)[:, None] * np.asarray(union_b.data)[None, :]
-        - np.asarray(union_a.data)[None, :]
     )
     if use_embed:
         # complex solves through the real 2n x 2n ring embedding (TPU has no
@@ -967,7 +979,6 @@ def count_eigenvalues(interval, mat_a, mat_b=None, probes: int = 16,
         # x^T S_k^{-H} B x = conj(x^T S_k^{-1} B x) by complex symmetry of
         # S_k = z_k B - A.
         from sparse_linear_tpu.eig.real_pipeline import _get_pipeline
-        from sparse_linear_tpu.solve import api as solve_api
 
         pipe = _get_pipeline(mat_a, mat_b, params.backend, params.dims)
         fac = pipe.factors_for(z_nodes)
@@ -981,16 +992,10 @@ def count_eigenvalues(interval, mat_a, mat_b=None, probes: int = 16,
     # complex Hermitian pencil: host complex factorizations (TPU has no
     # complex sparse support; counting is a setup-time estimate, so the CPU
     # path is acceptable and exact in f64)
-    from sparse_linear_tpu.solve import api as solve_api
-
     cdtype = complex_of(in_dtype)
-    union_b = lin(1.0 + 0.0j, mat_b, 0.0 + 0.0j, mat_a)
-    union_a = lin(0.0 + 0.0j, mat_b, 1.0 + 0.0j, mat_a)
-    data_stack = jnp.asarray(
-        np.asarray(z_nodes)[:, None] * np.asarray(union_b.data)[None, :]
-        - np.asarray(union_a.data)[None, :],
-        dtype=cdtype,
-    )
+    union_b, _, stack_c = _union_shift_stack(mat_a, mat_b, z_nodes,
+                                             real_input=False)
+    data_stack = jnp.asarray(stack_c, dtype=cdtype)
     symbolic = solve_api.analyze(
         union_b, backend=params.backend,
         **({"dims": params.dims} if params.dims is not None else {}),

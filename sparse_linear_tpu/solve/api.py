@@ -202,14 +202,21 @@ def solve_many(factors: Factors, bs, trans: bool = False):
     return solve(factors, bs, trans=trans)
 
 
-def factor_batched(pattern_mat, data_stack, symbolic: Symbolic):
+def factor_batched(pattern_mat, data_stack, symbolic: Symbolic,
+                   kind: str = "lu", scale: str = "none"):
     """Batched numeric factorization of many value-sets over one pattern
     (contour parallelism P3; SURVEY.md §2.4).  ``data_stack``: (ne, nnz)
-    values in the canonical entry order of ``pattern_mat``."""
+    values in the canonical entry order of ``pattern_mat``.  ``kind`` and
+    ``scale`` (equilibration) apply on the multifrontal backend."""
     import jax.numpy as jnp
 
     data_stack = jnp.asarray(data_stack)
     if symbolic.backend == "dense":
+        if scale != "none":
+            raise ValueError(
+                "scale= equilibration is a multifrontal-backend option "
+                "(dense LAPACK LU pivots fully)"
+            )
         from sparse_linear_tpu.ops.build import trim as _trim
 
         m = _trim(pattern_mat.tocsr())
@@ -226,7 +233,8 @@ def factor_batched(pattern_mat, data_stack, symbolic: Symbolic):
     if symbolic.backend == "multifrontal":
         from sparse_linear_tpu.solve import multifrontal
 
-        return multifrontal.factor_batched(data_stack, symbolic)
+        return multifrontal.factor_batched(data_stack, symbolic,
+                                           kind=kind, scale=scale)
     raise ValueError(f"unknown backend: {symbolic.backend}")
 
 
@@ -261,6 +269,17 @@ def linear_solve(mat, bs, backend: str = "dense", trans: bool = False,
     return solve_many(f, bs, trans=trans)
 
 
+def _op_and_trans(mat, trans):
+    """Residual operator + factor-solve trans flag for a requested mode:
+    the refinement entry points compute residuals against A / A^H / A^T and
+    back-solve in the matching mode on the same factors."""
+    mode = _trans_mode(trans)
+    op = {"N": lambda: mat,
+          "H": lambda: mat.ctrans().tocsr(),
+          "T": lambda: mat.T.tocsr()}[mode]()
+    return op, {"N": False, "H": True, "T": "T"}[mode]
+
+
 def solve_refined(factors: Factors, mat, b, trans: bool = False,
                   tol: float = 1e-10, max_iter: int = 20,
                   residual_dtype=jnp.float64):
@@ -273,11 +292,7 @@ def solve_refined(factors: Factors, mat, b, trans: bool = False,
     whenever kappa(A) * eps_f32 < 1.  Returns (x, SolveInfo).
     """
     b = jnp.asarray(b)
-    mode = _trans_mode(trans)
-    op = {"N": lambda: mat,
-          "H": lambda: mat.ctrans().tocsr(),
-          "T": lambda: mat.T.tocsr()}[mode]()
-    trans = {"N": False, "H": True, "T": "T"}[mode]
+    op, trans = _op_and_trans(mat, trans)
     hi = jnp.promote_types(residual_dtype, b.dtype)
     b_hi = b.astype(hi)
     bnorm = jnp.maximum(jnp.linalg.norm(b_hi), jnp.finfo(hi).tiny)
@@ -314,11 +329,7 @@ def solve_gmres(factors: Factors, mat, b, trans: bool = False,
     if b.ndim != 1:
         raise ValueError("solve_gmres: expected a single RHS (n,); loop "
                          "columns or use solve_refined for blocks")
-    mode = _trans_mode(trans)
-    op = {"N": lambda: mat,
-          "H": lambda: mat.ctrans().tocsr(),
-          "T": lambda: mat.T.tocsr()}[mode]()
-    trans = {"N": False, "H": True, "T": "T"}[mode]
+    op, trans = _op_and_trans(mat, trans)
     hi = jnp.promote_types(residual_dtype, b.dtype)
     b_hi = b.astype(hi)
     bnorm = float(jnp.linalg.norm(b_hi))
@@ -400,8 +411,8 @@ def slogdet(factors: Factors):
         n = piv_np.shape[-1]
         swaps = np.sum(piv_np != np.arange(n), axis=-1)
         sign = sign * np.where(swaps % 2, -1.0, 1.0)
-        if not np.issubdtype(sign.dtype, np.complexfloating):
-            sign = np.where(logabs == -np.inf, 0.0, sign)
+        # numpy slogdet convention: singular -> sign 0 (complex included)
+        sign = np.where(logabs == -np.inf, 0.0 * sign, sign)
         return sign, logabs
     if factors.backend == "multifrontal":
         from sparse_linear_tpu.solve import multifrontal
@@ -447,6 +458,11 @@ def condest(factors: Factors, mat, itmax: int = 5):
     ``rcond`` UMFPACK reports in Info).  Each iteration costs one solve
     with A and one with A^H — both reuse the factorization.  The estimate
     is a lower bound on kappa_1, in practice within a small factor."""
+    if getattr(factors, "batch", None) is not None:
+        raise ValueError(
+            "condest: batched factors are not supported — estimate each "
+            "value-set on its own (unbatched) factorization"
+        )
     n = factors.n
     csr = mat.tocsr()
     data = np.abs(np.asarray(csr.data))

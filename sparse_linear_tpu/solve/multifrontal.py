@@ -954,8 +954,8 @@ def slogdet(factors: MFFactors):
         # diagonal: det A = det M / det(R or S^2)
         corr = np.sum(np.log(np.asarray(sc["rscale"])), axis=-1)
         logabs = logabs - (2.0 * corr if chol else corr)
-    if not np.issubdtype(sign.dtype, np.complexfloating):
-        sign = np.where(logabs == -np.inf, 0.0, sign)
+    # numpy slogdet convention: singular -> sign 0 (complex included)
+    sign = np.where(logabs == -np.inf, 0.0 * sign, sign)
     return sign, logabs
 
 

@@ -39,13 +39,15 @@ def save_factors(path, factors):
     """Persist a Factors artifact (dense or multifrontal) to ``path``."""
     if factors.backend == "dense":
         lu, piv = factors.payload
-        np.savez_compressed(
-            path,
-            backend="dense",
-            n=factors.n,
-            lu=np.asarray(lu),
-            piv=np.asarray(piv),
-        )
+        payload = {
+            "backend": "dense",
+            "n": factors.n,
+            "lu": np.asarray(lu),
+            "piv": np.asarray(piv),
+        }
+        if getattr(factors, "batch", None) is not None:
+            payload["batch"] = np.asarray(factors.batch, dtype=np.int64)
+        np.savez_compressed(path, **payload)
         return
     if factors.backend == "multifrontal":
         sym = factors.symbolic
@@ -77,11 +79,14 @@ def load_factors(path, mat=None):
     with np.load(path, allow_pickle=False) as z:
         backend = str(z["backend"])
         if backend == "dense":
-            return solve_api.Factors(
+            out = solve_api.Factors(
                 payload=(jnp.asarray(z["lu"]), jnp.asarray(z["piv"])),
                 n=int(z["n"]),
                 backend="dense",
             )
+            if "batch" in z:
+                object.__setattr__(out, "batch", int(z["batch"]))
+            return out
         if backend == "multifrontal":
             if mat is None:
                 raise ValueError(

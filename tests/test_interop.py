@@ -143,6 +143,34 @@ def test_save_load_scaled_batched_factors(tmp_path, rng):
         assert r / np.linalg.norm(b) < 1e-10
 
 
+def test_save_load_dense_batched_factors(tmp_path, rng):
+    """Dense batched artifacts keep their batch count across a round-trip,
+    so the batch-aware queries (get_factors index guard, slogdet shapes)
+    keep working on restored factors."""
+    n = 12
+    from sparse_linear_tpu.utils.grids import laplacian_1d
+
+    a = laplacian_1d(n, dtype=np.float64)
+    sym = solve_api.analyze(a)
+    data0 = np.asarray(a.tocsr().data)
+    fb = solve_api.factor_batched(a, np.stack([data0, 2.0 * data0]), sym)
+    p = tmp_path / "dense_batched.npz"
+    save_factors(p, fb)
+    f2 = load_factors(p)
+    assert getattr(f2, "batch", None) == 2
+    with pytest.raises(ValueError, match="index"):
+        solve_api.get_factors(f2)
+    L, U, rp, cp = solve_api.get_factors(f2, index=1)
+    dense = 2.0 * np.asarray(a.todense())
+    err = np.max(np.abs(
+        np.asarray(L.todense()) @ np.asarray(U.todense())
+        - dense[np.ix_(rp, cp)]
+    ))
+    assert err < 1e-12 * np.max(np.abs(dense))
+    s, l = solve_api.slogdet(f2)
+    assert s.shape == (2,) and l.shape == (2,)
+
+
 def test_save_load_subspace(tmp_path):
     from sparse_linear_tpu.eig.feast import FeastParams, eigsh
     from sparse_linear_tpu.utils.grids import laplacian_1d

@@ -291,6 +291,13 @@ def test_condest(rng, dtype):
     true = np.linalg.cond(np.asarray(p.todense()), 1)
     assert est <= true * 1.001 and est > true / 10
 
+    # batched factors are rejected with a clear message
+    data0 = np.asarray(p.tocsr().data)
+    fb = mf.factor_batched(np.stack([data0, 2 * data0]),
+                           mf.analyze(p, dims=(g, g)))
+    with pytest.raises(ValueError, match="batched"):
+        solve_api.condest(fb, p)
+
 
 def test_equilibration(rng):
     """UMFPACK-style row scaling (umfpack.h UMFPACK_SCALE_SUM): on a badly
