@@ -395,3 +395,229 @@ extern "C" int slt_amd(int n, const int64_t* indptr, const int* indices,
   }
   return (pos == n) ? 0 : 1;
 }
+
+// ---------------------------------------------------------------------------
+// General-graph nested dissection (George-Liu automatic ND).
+//
+// The grid problems get geometric ND in Python (solve/ordering.py); this is
+// the native ordering for UNSTRUCTURED symmetric patterns, where ND's
+// O(separator^3) fronts beat AMD's local greedy choices on mesh-like graphs
+// at scale.  Recursive level-set bisection: pseudo-peripheral BFS, separator
+// level chosen as the thinnest balanced level, shrunk to the vertices with
+// neighbors across the cut (a minimal one-sided separator), leaves ordered
+// by the AMD engine above.
+//
+// C API (ctypes):
+//   ok = slt_nd(n, indptr, indices, leaf, perm_out)   // 0 on success
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct NdCtx {
+  int n;
+  const int64_t* indptr;
+  const int* indices;
+  std::vector<int> stamp;    // membership stamp per global node
+  std::vector<int> level;    // BFS level per global node (valid when stamped)
+  std::vector<int> seen;     // BFS visited stamp
+  int cur = 0;               // current job stamp
+  int bfs_cur = 0;           // current BFS stamp
+  int* out;
+  int cursor = 0;
+
+  explicit NdCtx(int n_) : n(n_), stamp(n_, -1), level(n_, 0), seen(n_, -1) {}
+
+  void emit(const std::vector<int>& nodes) {
+    for (int v : nodes) out[cursor++] = v;
+  }
+
+  // AMD on the induced subgraph of `nodes` (local relabeling), append.
+  void leaf_amd(const std::vector<int>& nodes, std::vector<int>& loc) {
+    const int m = (int)nodes.size();
+    if (m <= 2) { emit(nodes); return; }
+    for (int i = 0; i < m; ++i) loc[nodes[i]] = i;
+    std::vector<int64_t> sp(m + 1, 0);
+    std::vector<int> si;
+    si.reserve(16 * (size_t)m);
+    for (int i = 0; i < m; ++i) {
+      int g = nodes[i];
+      for (int64_t p = indptr[g]; p < indptr[g + 1]; ++p) {
+        int w = indices[p];
+        if (w != g && stamp[w] == cur) si.push_back(loc[w]);
+      }
+      sp[i + 1] = (int64_t)si.size();
+    }
+    std::vector<int> lperm(m);
+    if (slt_amd(m, sp.data(), si.data(), lperm.data()) == 0) {
+      for (int k = 0; k < m; ++k) out[cursor++] = nodes[lperm[k]];
+    } else {
+      emit(nodes);
+    }
+    for (int i = 0; i < m; ++i) loc[nodes[i]] = -1;
+  }
+
+  // BFS over the stamped subgraph from `root`; fills `order` (discovery)
+  // and level[]; returns the height (max level).
+  int bfs(int root, const std::vector<int>& nodes, std::vector<int>& order) {
+    (void)nodes;
+    ++bfs_cur;
+    order.clear();
+    order.push_back(root);
+    seen[root] = bfs_cur;
+    level[root] = 0;
+    int h = 0;
+    for (size_t q = 0; q < order.size(); ++q) {
+      int u = order[q];
+      for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+        int w = indices[p];
+        if (w == u || stamp[w] != cur || seen[w] == bfs_cur) continue;
+        seen[w] = bfs_cur;
+        level[w] = level[u] + 1;
+        if (level[w] > h) h = level[w];
+        order.push_back(w);
+      }
+    }
+    return h;
+  }
+};
+
+}  // namespace
+
+extern "C" int slt_nd(int n, const int64_t* indptr, const int* indices,
+                      int leaf, int* perm_out) {
+  if (n <= 0) return 0;
+  if (leaf < 4) leaf = 4;
+  NdCtx W(n);
+  W.indptr = indptr;
+  W.indices = indices;
+  W.out = perm_out;
+  std::vector<int> loc(n, -1);  // shared local-id scratch for leaf AMD
+
+  // explicit op stack: ("recurse", nodes) / ("emit", separator); children
+  // are pushed before the separator so separators are eliminated LAST
+  struct Job { std::vector<int> nodes; bool is_emit; };
+  std::vector<Job> stack;
+  {
+    std::vector<int> all(n);
+    for (int i = 0; i < n; ++i) all[i] = i;
+    stack.push_back({std::move(all), false});
+  }
+  std::vector<int> order;
+  int next_stamp = 0;
+
+  while (!stack.empty()) {
+    Job job = std::move(stack.back());
+    stack.pop_back();
+    if (job.is_emit) { W.emit(job.nodes); continue; }
+    std::vector<int>& nodes = job.nodes;
+    const int m = (int)nodes.size();
+    // stamp membership for this job
+    W.cur = ++next_stamp;
+    for (int v : nodes) W.stamp[v] = W.cur;
+    if (m <= leaf) { W.leaf_amd(nodes, loc); continue; }
+
+    // connected components of the stamped subgraph
+    std::vector<std::vector<int>> comps;
+    {
+      ++W.bfs_cur;
+      int comp_stamp = W.bfs_cur;
+      for (int v : nodes) {
+        if (W.seen[v] == comp_stamp) continue;
+        comps.emplace_back();
+        std::vector<int>& c = comps.back();
+        c.push_back(v);
+        W.seen[v] = comp_stamp;
+        for (size_t q = 0; q < c.size(); ++q) {
+          int u = c[q];
+          for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+            int w = indices[p];
+            if (w == u || W.stamp[w] != W.cur || W.seen[w] == comp_stamp)
+              continue;
+            W.seen[w] = comp_stamp;
+            c.push_back(w);
+          }
+        }
+      }
+    }
+
+    for (std::vector<int>& comp : comps) {
+      const int cm = (int)comp.size();
+      // the component BFS above may have been invalidated by later comps'
+      // stamps — re-stamp this component alone for the bisection phase
+      W.cur = ++next_stamp;
+      for (int v : comp) W.stamp[v] = W.cur;
+      if (cm <= leaf) { W.leaf_amd(comp, loc); continue; }
+
+      // pseudo-peripheral root: double BFS, tie-break by low degree
+      int root = comp[0];
+      int h = 0;
+      for (int rep = 0; rep < 2; ++rep) {
+        h = W.bfs(root, comp, order);
+        if (h == 0) break;
+        int best = order.back();
+        int64_t bdeg = indptr[best + 1] - indptr[best];
+        for (auto it = order.rbegin();
+             it != order.rend() && W.level[*it] == h; ++it) {
+          int64_t d = indptr[*it + 1] - indptr[*it];
+          if (d < bdeg) { best = *it; bdeg = d; }
+        }
+        root = best;
+      }
+      if (h < 2) { W.leaf_amd(comp, loc); continue; }
+      h = W.bfs(root, comp, order);
+
+      // level sizes + cumulative counts
+      std::vector<int> lsize(h + 1, 0);
+      for (int v : comp) ++lsize[W.level[v]];
+      // pick separator level j in [1, h-1]: thinnest level whose two
+      // sides both hold >= 25% of the component; fallback = most balanced
+      int bestj = -1;
+      long bestw = 1L << 30;
+      int fallj = 1;
+      long fallbal = 1L << 30;
+      long cum = lsize[0];
+      for (int j = 1; j <= h - 1; ++j) {
+        long below = cum;             // levels 0..j-1
+        cum += lsize[j];
+        long above = (long)cm - cum;  // levels j+1..h
+        long bal = (below > above) ? below - above : above - below;
+        if (bal < fallbal) { fallbal = bal; fallj = j; }
+        if (below >= cm / 4 && above >= cm / 4 && lsize[j] < bestw) {
+          bestw = lsize[j];
+          bestj = j;
+        }
+      }
+      const int j = (bestj >= 0) ? bestj : fallj;
+
+      // separator: vertices of L_j with a neighbor in L_{j+1} (one-sided
+      // shrink — the rest of L_j has no cross edges and joins side A)
+      std::vector<int> A, B, S;
+      A.reserve(cm);
+      for (int v : comp) {
+        int lv = W.level[v];
+        if (lv < j) { A.push_back(v); continue; }
+        if (lv > j) { B.push_back(v); continue; }
+        bool cross = false;
+        for (int64_t p = indptr[v]; p < indptr[v + 1]; ++p) {
+          int w = indices[p];
+          if (w != v && W.stamp[w] == W.cur && W.level[w] == j + 1) {
+            cross = true;
+            break;
+          }
+        }
+        if (cross) S.push_back(v); else A.push_back(v);
+      }
+      if (A.empty() || B.empty() || S.empty() ||
+          (int)S.size() >= cm - (int)S.size()) {
+        // degenerate cut: no progress possible this way
+        W.leaf_amd(comp, loc);
+        continue;
+      }
+      // out-order: A, B, then S — push emit first, recurse last (LIFO)
+      stack.push_back({std::move(S), true});
+      stack.push_back({std::move(B), false});
+      stack.push_back({std::move(A), false});
+    }
+  }
+  return (W.cursor == n) ? 0 : 1;
+}

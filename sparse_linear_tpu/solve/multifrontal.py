@@ -215,13 +215,16 @@ def analyze(mat: CSR, ordering: str = "auto", dims=None,
     if perm is None:
         if ordering == "auto":
             ordering = "nd" if dims is not None else "amd"
-        if ordering in ("nd", "nested-dissection"):
+        if ordering in ("nd", "nested-dissection") and dims is not None:
             perm = ord_mod.nested_dissection_grid(dims)
-        elif ordering in ("rcm", "amd"):
+        elif ordering in ("nd", "nested-dissection", "rcm", "amd"):
             sp_ip, sp_ix = _symmetrized_pattern(
                 mat, np.arange(n, dtype=np.int32)
             )
-            fn = ord_mod.rcm if ordering == "rcm" else ord_mod.amd
+            fn = {"rcm": ord_mod.rcm, "amd": ord_mod.amd}.get(
+                ordering,
+                lambda ip, ix, nn: ord_mod.nested_dissection(ip, ix, nn),
+            )
             perm = fn(sp_ip, sp_ix, n)
         elif ordering == "natural":
             perm = ord_mod.natural(n)

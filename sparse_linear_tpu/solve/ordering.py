@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["natural", "rcm", "amd", "nested_dissection_grid",
-           "ordering_by_name"]
+           "nested_dissection", "ordering_by_name"]
 
 
 def natural(n: int) -> np.ndarray:
@@ -170,6 +170,19 @@ def nested_dissection_grid(dims, leaf: int = 64) -> np.ndarray:
     return out
 
 
+def nested_dissection(indptr, indices, n: int, leaf: int = 64) -> np.ndarray:
+    """General-graph nested dissection (native C++ George-Liu level-set
+    bisection with AMD-ordered leaves, native/ordering.cpp) for unstructured
+    symmetric patterns — the ordering family UMFPACK/CHOLMOD reach through
+    METIS.  Falls back to AMD when the native library is unavailable."""
+    from sparse_linear_tpu.utils.native import native_nd
+
+    perm = native_nd(n, indptr, indices, leaf=leaf)
+    if perm is None:
+        return amd(indptr, indices, n)
+    return perm.astype(np.int32)
+
+
 def ordering_by_name(name: str, indptr, indices, n: int, dims=None):
     if name == "natural":
         return natural(n)
@@ -179,7 +192,6 @@ def ordering_by_name(name: str, indptr, indices, n: int, dims=None):
         return amd(indptr, indices, n)
     if name in ("nd", "nested-dissection"):
         if dims is None:
-            raise ValueError("nested dissection needs grid dims; use amd "
-                             "for general patterns")
+            return nested_dissection(indptr, indices, n)
         return nested_dissection_grid(dims)
     raise ValueError(f"unknown ordering: {name}")

@@ -76,6 +76,10 @@ def load():
         if hasattr(lib, "slt_amd"):
             lib.slt_amd.restype = ctypes.c_int
             lib.slt_amd.argtypes = [ctypes.c_int, i64p, i32p, i32p]
+        if hasattr(lib, "slt_nd"):
+            lib.slt_nd.restype = ctypes.c_int
+            lib.slt_nd.argtypes = [ctypes.c_int, i64p, i32p, ctypes.c_int,
+                                   i32p]
         if hasattr(lib, "slt_wellpack"):
             f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
             lib.slt_wellpack.restype = ctypes.c_void_p
@@ -105,6 +109,21 @@ def native_amd(n, indptr, indices):
     indices = np.ascontiguousarray(indices, dtype=np.int32)
     perm = np.zeros(int(n), dtype=np.int32)
     if lib.slt_amd(int(n), indptr, indices, perm):
+        return None
+    return perm
+
+
+def native_nd(n, indptr, indices, leaf=64):
+    """General-graph nested-dissection permutation from the native library
+    (George-Liu level-set bisection, AMD-ordered leaves), or None when
+    unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "slt_nd"):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    perm = np.zeros(int(n), dtype=np.int32)
+    if lib.slt_nd(int(n), indptr, indices, int(leaf), perm):
         return None
     return perm
 
