@@ -302,3 +302,89 @@ def test_sparse_vector_from_pairs(n, pairs):
     got[vi] = vv
     np.testing.assert_allclose(got, dense, atol=1e-10)
     assert np.all(np.diff(vi) > 0)
+
+
+# ------------------------------------------------------- factor queries
+
+
+@st.composite
+def square_system(draw, max_dim=12):
+    """Random square matrix made safely nonsingular by a diagonal boost."""
+    n = draw(st.integers(2, max_dim))
+    dtype = draw(_DTYPES)
+    fl = st.floats(-3, 3, allow_nan=False, width=32)
+    vals = np.array(
+        draw(st.lists(fl, min_size=n * n, max_size=n * n)), np.float64
+    ).reshape(n, n)
+    if np.issubdtype(dtype, np.complexfloating):
+        im = np.array(
+            draw(st.lists(fl, min_size=n * n, max_size=n * n)), np.float64
+        ).reshape(n, n)
+        vals = vals + 1j * im
+    d = vals.astype(dtype) + (3.0 * n) * np.eye(n, dtype=dtype)
+    return n, d
+
+
+@given(s=square_system())
+@settings(**_SETTINGS)
+def test_factor_queries_match_dense(s):
+    """slogdet/det/rcond/get_factors agree with dense numpy ground truth on
+    random nonsingular systems (UMFPACK get_determinant / Info[RCOND] /
+    get_numeric analogs)."""
+    from sparse_linear_tpu.solve import api as solve_api
+
+    n, d = s
+    r, c = np.nonzero(d)
+    a = sl.from_triples((n, n), r, c, d[r, c]).tocsr()
+    f = solve_api.factor(a)
+    sign, logabs = solve_api.slogdet(f)
+    rs, rl = np.linalg.slogdet(d)
+    np.testing.assert_allclose(logabs, rl, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(sign, rs, rtol=1e-5, atol=1e-6)
+    rc_est = solve_api.rcond(f)
+    assert 0 < float(rc_est) <= 1.0 + 1e-12
+    est = solve_api.condest(f, a)
+    true = float(np.real(np.linalg.cond(d.astype(np.complex128), 1)))
+    assert est <= true * (1 + 1e-6)  # guaranteed lower bound
+    L, U, rp, cp = solve_api.get_factors(f)
+    Ld, Ud = np.asarray(L.todense()), np.asarray(U.todense())
+    ref = d[np.ix_(rp, cp)]
+    scale = max(float(np.max(np.abs(ref))), 1e-30)
+    assert float(np.max(np.abs(Ld @ Ud - ref))) / scale < 1e-5
+    assert np.allclose(np.triu(Ld, 1), 0) and np.allclose(np.tril(Ud, -1), 0)
+
+
+@given(s=square_system(max_dim=10),
+       scale=st.sampled_from(["none", "sum", "max"]))
+@settings(**_SETTINGS)
+def test_multifrontal_queries_random_pattern(s, scale):
+    """Multifrontal factor queries on random patterns (AMD ordering, every
+    equilibration mode): solve residual, slogdet vs numpy, scaled-operator
+    export identity."""
+    from sparse_linear_tpu.solve import api as solve_api
+    from sparse_linear_tpu.solve import multifrontal as mf
+
+    n, d = s
+    # pin the engine-real f64 path: dtype spread is covered by the dense
+    # property test; this one checks the multifrontal semantics
+    d = np.real(d).astype(np.float64) + (
+        (3.0 * n) * np.eye(n) if np.issubdtype(d.dtype, np.complexfloating)
+        else 0.0
+    )
+    r, c = np.nonzero(d)
+    a = sl.from_triples((n, n), r, c, d[r, c]).tocsr()
+    f = mf.factor(a, mf.analyze(a), kind="lu", scale=scale)
+    b = np.linspace(-1, 1, n)
+    x = mf.solve(f, jnp.asarray(b))
+    assert np.linalg.norm(d @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-8
+    sign, logabs = solve_api.slogdet(f)
+    rs, rl = np.linalg.slogdet(d)
+    np.testing.assert_allclose(float(logabs), rl, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(float(sign), rs, rtol=1e-6)
+    L, U, rp, cp = solve_api.get_factors(f)
+    target = d if f.row_scale is None else f.row_scale[:, None] * d
+    ref = target[np.ix_(rp, cp)]
+    err = np.max(np.abs(
+        np.asarray(L.todense()) @ np.asarray(U.todense()) - ref
+    ))
+    assert err < 1e-8 * max(np.max(np.abs(ref)), 1e-30)
