@@ -444,6 +444,34 @@ def main():
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGALRM, _on_term)
 
+    # device discovery can HANG (not fail) when the TPU tunnel is down —
+    # and a hung jax.devices() blocks in C, so Python SIGNAL handlers never
+    # run (observed: neither SIGALRM nor the driver's SIGTERM fire).  A
+    # daemon THREAD runs regardless: emit an explicit error line and exit
+    # instead of dying silently on the driver's timeout.
+    import threading
+
+    probe_done = threading.Event()
+
+    def _probe_watchdog():
+        if not probe_done.wait(180):
+            print(json.dumps({
+                "metric": "error_tpu_unavailable",
+                "value": 0.0,
+                "unit": "none",
+                "vs_baseline": 0.0,
+                "detail": "jax.devices() did not return within 180 s "
+                          "(accelerator tunnel down?)",
+            }), flush=True)
+            sys.stdout.flush()
+            os._exit(125)
+
+    threading.Thread(target=_probe_watchdog, daemon=True).start()
+    platform = jax.devices()[0].platform
+    probe_done.set()
+    print(json.dumps({"metric": "bench_platform", "value": platform,
+                      "unit": "info", "vs_baseline": 1.0}), flush=True)
+
     def run(fn, *args):
         c = fn(*args)
         components.append(c)
