@@ -42,7 +42,7 @@ from sparse_linear_tpu.utils.precision import dot64
 from sparse_linear_tpu.solve import api as solve_api
 
 __all__ = ["FeastParams", "EigResult", "eigsh", "geigsh",
-           "count_eigenvalues", "INFO_OK",
+           "count_eigenvalues", "eigsh_sliced", "geigsh_sliced", "INFO_OK",
            "INFO_NO_EIGENVALUES", "INFO_NOT_CONVERGED", "INFO_SUBSPACE_TOO_SMALL"]
 
 INFO_OK = 0
@@ -80,6 +80,7 @@ class FeastParams:
                                 # floors the subspace residual at ~1e-6.
     check_hermitian: bool = True
     seed: int = 0
+    quadrature: str = "gauss"  # FEAST fpm(16): "gauss" | "trapezoid"
 
 
 class EigResult(NamedTuple):
@@ -113,8 +114,15 @@ def _check_hermitian(mat, name):
         raise ValueError(f"geigsh: matrix {name} is not hermitian")
 
 
-def _contour(emin, emax, ne):
-    """Gauss-Legendre nodes/weights on the upper semicircle.
+def _contour(emin, emax, ne, kind: str = "gauss"):
+    """Quadrature nodes/weights on the upper semicircle.
+
+    ``kind`` mirrors FEAST's fpm(16) integration-type switch: "gauss"
+    (default, fpm(16)=0) or "trapezoid" (fpm(16)=1 — uniform midpoint
+    angles; its equispaced nodes make the filter exactly the exponential
+    of the resolvent's Fourier series, sometimes preferred for very wide
+    intervals).  Zolotarev (fpm(16)=2) is deliberately not offered — see
+    the analysis below.
 
     The projector P = (1/2pi) Int_0^{2pi} r e^{i t} (z(t)B - A)^{-1} B dt
     with z(t) = c + r e^{i t}.  For a Hermitian pencil the lower semicircle
@@ -133,6 +141,17 @@ def _contour(emin, emax, ne):
     """
     c = 0.5 * (emin + emax)
     r = 0.5 * (emax - emin)
+    if kind == "trapezoid":
+        # midpoint rule on the upper semicircle: theta_j = pi (j+1/2)/ne,
+        # each carrying dtheta = pi/ne of the (1/2pi) contour measure
+        theta = np.pi * (np.arange(ne) + 0.5) / ne
+        z = c + r * np.exp(1j * theta)
+        sigma = r * np.exp(1j * theta) / (2.0 * ne)
+        return z, sigma
+    if kind != "gauss":
+        raise ValueError(
+            f"unknown quadrature: {kind!r} (expected 'gauss' or 'trapezoid')"
+        )
     x, w = np.polynomial.legendre.leggauss(ne)
     theta = 0.5 * np.pi * (x + 1.0)  # (0, pi)
     z = c + r * np.exp(1j * theta)
@@ -570,7 +589,8 @@ def geigsh(m0, interval, mat_a, mat_b, params: FeastParams = FeastParams(),
     # ONE batched numeric factorization over the stacked shifted value-sets
     # (z_k B - A) — contour parallelism P3.  With ``mesh`` given, the node
     # axis is sharded over it and XLA inserts the quadrature psum (P4/dist).
-    z_nodes, sigma = _contour(emin, emax, params.contour_points)
+    z_nodes, sigma = _contour(emin, emax, params.contour_points,
+                              kind=getattr(params, 'quadrature', 'gauss'))
     ne = len(z_nodes)
     opts = {"dims": params.dims} if params.dims is not None else {}
     with host_ctx():
@@ -967,7 +987,8 @@ def count_eigenvalues(interval, mat_a, mat_b=None, probes: int = 16,
         _check_hermitian(mat_a, "A")
         _check_hermitian(mat_b, "B")
 
-    z_nodes, sigma = _contour(emin, emax, params.contour_points)
+    z_nodes, sigma = _contour(emin, emax, params.contour_points,
+                              kind=getattr(params, 'quadrature', 'gauss'))
     ne = len(z_nodes)
     s = int(max(1, probes))
     rng = np.random.default_rng(seed)
@@ -1011,3 +1032,147 @@ def count_eigenvalues(interval, mat_a, mat_b=None, probes: int = 16,
     t_h = jnp.einsum("ns,kns->k", jnp.conj(xc), y_h)
     est = jnp.sum(sig * t_n) + jnp.sum(jnp.conj(sig) * t_h)
     return float(jnp.real(est) / s)
+
+
+def geigsh_sliced(interval, mat_a, mat_b=None, m0_max: int = 64,
+                  params: FeastParams = FeastParams(), probes: int = 16,
+                  max_depth: int = 8) -> EigResult:
+    """Spectrum slicing: solve a WIDE interval whose eigenpair count
+    exceeds one practical subspace by recursively bisecting it until each
+    slice's stochastic count estimate (``count_eigenvalues``) fits in
+    ``m0_max``, solving each slice independently, and merging.
+
+    This is the standard scaling workflow for contour eigensolvers (FEAST
+    4.x ships it as contour splitting; the reference's 2.x binding leaves
+    it to the user, Feast.hs:115-240 solves one fixed interval).  Slices
+    are independent — each gets its own contour factorizations, so on a
+    mesh they distribute exactly like contour nodes (P3/P4).
+
+    A slice whose solve reports INFO_SUBSPACE_TOO_SMALL (the estimate
+    undershot) is bisected and re-solved rather than silently dropping
+    pairs.  Returns one merged EigResult: values ascending, vectors
+    column-concatenated, ``iterations`` summed over slices, ``epsout`` the
+    worst slice, ``subspace`` the concatenated converged vectors (a warm
+    start for a re-solve of the full interval)."""
+    emin, emax = float(interval[0]), float(interval[1])
+    if emax <= emin:
+        raise ValueError("geigsh_sliced: empty interval")
+    if m0_max < 4:
+        raise ValueError("geigsh_sliced: m0_max must be >= 4")
+
+    def margin(est):
+        return int(np.ceil(max(est, 0.0) * 1.25)) + 4
+
+    # recursively partition until the estimated count fits
+    slices = []
+    stack = [(emin, emax, 0)]
+    while stack:
+        lo, hi, depth = stack.pop()
+        est = count_eigenvalues((lo, hi), mat_a, mat_b, probes=probes,
+                                params=params)
+        if margin(est) <= m0_max or depth >= max_depth:
+            slices.append((lo, hi, min(max(margin(est), 8), m0_max)))
+        else:
+            mid = 0.5 * (lo + hi)
+            stack.append((mid, hi, depth + 1))
+            stack.append((lo, mid, depth + 1))
+    slices.sort()
+
+    results = []
+    total_loops = 0
+    worst_eps = 0.0
+    worst_info = INFO_NO_EIGENVALUES
+    i = 0
+    while i < len(slices):
+        lo, hi, m0 = slices[i]
+        i += 1
+        if mat_b is None:
+            res = eigsh(m0, (lo, hi), mat_a, params)
+        else:
+            res = geigsh(m0, (lo, hi), mat_a, mat_b, params)
+        if (res.info == INFO_SUBSPACE_TOO_SMALL
+                or (res.n_found >= m0 and m0 < m0_max)):
+            # estimate undershot: bisect this slice and redo both halves
+            mid = 0.5 * (lo + hi)
+            if hi - lo > 1e-12 * max(abs(emin), abs(emax), 1.0):
+                slices.insert(i, (mid, hi, m0))
+                slices.insert(i, (lo, mid, m0))
+                continue
+        total_loops += res.iterations
+        # drop unconverged junk pairs (residual far above tolerance) —
+        # a slice that hit max_loops can report spectral-filter leftovers
+        # at O(1) residual alongside its converged pairs
+        gate = max(1e4 * params.tol, 1e-8)
+        rk = np.asarray(res.residuals) <= gate
+        if res.n_found and not np.all(rk):
+            res = res._replace(
+                values=np.asarray(res.values)[rk],
+                vectors=np.asarray(res.vectors)[:, rk],
+                residuals=np.asarray(res.residuals)[rk],
+                n_found=int(rk.sum()),
+            )
+        if res.n_found:
+            worst_eps = max(worst_eps, float(np.max(res.residuals)))
+            worst_info = max(
+                worst_info if worst_info != INFO_NO_EIGENVALUES else 0,
+                res.info if res.info != INFO_NO_EIGENVALUES else 0,
+            )
+            results.append(res)
+
+    if not results:
+        n = mat_a.shape[0]
+        return EigResult(values=np.zeros(0), vectors=np.zeros((n, 0)),
+                         n_found=0, iterations=total_loops, epsout=0.0,
+                         residuals=np.zeros(0), info=INFO_NO_EIGENVALUES,
+                         subspace=np.zeros((n, 0)))
+
+    values = np.concatenate([np.asarray(r.values) for r in results])
+    vectors = np.concatenate(
+        [np.asarray(r.vectors) for r in results], axis=1
+    )
+    residuals = np.concatenate([np.asarray(r.residuals) for r in results])
+    order = np.argsort(values)
+    values, vectors, residuals = (
+        values[order], vectors[:, order], residuals[order]
+    )
+    # an eigenvalue landing exactly on a cut can appear in both slices —
+    # including DEGENERATE ones, where the two slices may return different
+    # vectors of the same eigenspace.  Dedup group-wise: within each
+    # near-equal value group, keep a vector only if it has a substantial
+    # component outside the span of the vectors already kept.
+    scale = max(abs(emin), abs(emax), 1.0)
+    m = values.size
+    keep = np.ones(m, dtype=bool)
+    j0 = 0
+    for j in range(1, m + 1):
+        if j < m and abs(values[j] - values[j - 1]) < 1e-9 * scale:
+            continue
+        if j - j0 > 1:  # group [j0, j) of equal values
+            basis: list = []
+            for t in range(j0, j):
+                v = vectors[:, t].astype(np.complex128)
+                v = v / max(np.linalg.norm(v), 1e-300)
+                for bvec in basis:
+                    v = v - bvec * np.vdot(bvec, v)
+                nv = np.linalg.norm(v)
+                if nv < 0.5:  # numerically inside the kept span: duplicate
+                    keep[t] = False
+                else:
+                    basis.append(v / nv)
+        j0 = j
+    values, vectors, residuals = (
+        values[keep], vectors[:, keep], residuals[keep]
+    )
+    return EigResult(
+        values=values, vectors=vectors, n_found=int(values.size),
+        iterations=total_loops, epsout=worst_eps, residuals=residuals,
+        info=worst_info, subspace=vectors,
+    )
+
+
+def eigsh_sliced(interval, mat_a, m0_max: int = 64,
+                 params: FeastParams = FeastParams(), probes: int = 16,
+                 max_depth: int = 8) -> EigResult:
+    """Standard-problem spectrum slicing (B = I); see ``geigsh_sliced``."""
+    return geigsh_sliced(interval, mat_a, None, m0_max=m0_max,
+                         params=params, probes=probes, max_depth=max_depth)

@@ -349,7 +349,8 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
     pipe = _get_pipeline(mat_a, mat_b, params.backend, params.dims)
     _tick("pipeline")
 
-    z_nodes, sigma = _contour(emin, emax, params.contour_points)
+    z_nodes, sigma = _contour(emin, emax, params.contour_points,
+                              kind=getattr(params, 'quadrature', 'gauss'))
     ne = len(z_nodes)
     factors = pipe.factors_for(z_nodes)
     _tick("factors")

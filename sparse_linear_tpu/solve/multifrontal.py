@@ -122,13 +122,20 @@ class MFFactors:
 
 def _mff_flatten(f):
     keys = sorted(f.blocks.keys())
+    # `batch` must ride the static aux data: factors cross jit boundaries
+    # as arguments, and an unflattened artifact that silently dropped its
+    # batch count would fail solve_batched's shape validation inside jit
     return [f.blocks[k] for k in keys], (f.symbolic, f.dtype, f.kind,
-                                         tuple(keys))
+                                         tuple(keys),
+                                         getattr(f, "batch", None))
 
 
 def _mff_unflatten(aux, children):
-    sym, dtype, kind, keys = aux
-    return MFFactors(sym, dict(zip(keys, children)), dtype, kind)
+    sym, dtype, kind, keys, batch = aux
+    out = MFFactors(sym, dict(zip(keys, children)), dtype, kind)
+    if batch is not None:
+        out.batch = batch
+    return out
 
 
 # Pytree registration lets a factor artifact cross jit boundaries as an

@@ -261,3 +261,53 @@ def test_count_eigenvalues():
 
     with pytest.raises(ValueError, match="empty"):
         count_eigenvalues((1.0, 0.5), a)
+
+
+def test_quadrature_trapezoid():
+    """FEAST fpm(16) integration-type switch: trapezoid nodes converge on
+    the analytic 1D Laplacian interval (a couple more refinement loops than
+    Gauss, per the documented filter analysis)."""
+    n = 48
+    a = laplacian_1d(n, dtype=np.float64)
+    lam = 4 * np.sin(np.arange(1, n + 1) * np.pi / (2 * (n + 1))) ** 2
+    lo, hi = 0.05, 0.5
+    want = np.sort(lam[(lam >= lo) & (lam <= hi)])
+    res = eigsh(len(want) + 4, (lo, hi), a,
+                FeastParams(tol=1e-11, quadrature="trapezoid",
+                            contour_points=12))
+    assert res.n_found == len(want)
+    np.testing.assert_allclose(np.sort(res.values), want, rtol=1e-10)
+    with pytest.raises(ValueError, match="quadrature"):
+        eigsh(4, (lo, hi), a, FeastParams(quadrature="bogus"))
+
+
+def test_spectrum_slicing():
+    """eigsh_sliced solves a wide interval whose count exceeds one
+    subspace: stochastic-count-driven bisection, per-slice solves, merged
+    ascending result with boundary dedup (FEAST 4.x contour-splitting
+    workflow; the reference's 2.x binding has no analog)."""
+    from sparse_linear_tpu.eig.feast import eigsh_sliced
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    g = 12
+    a = poisson_2d(g, dtype=np.float64)
+    i = np.arange(1, g + 1)
+    lam1 = 4 * np.sin(i * np.pi / (2 * (g + 1))) ** 2
+    lam2 = np.sort((lam1[:, None] + lam1[None, :]).ravel())
+    # cut at the widest gap near 40 pairs: the 2D Poisson spectrum has
+    # degeneracies, and a cut THROUGH a multiple eigenvalue makes "the
+    # first k" ill-defined
+    cand = np.arange(35, 46)
+    k = int(cand[np.argmax(lam2[cand] - lam2[cand - 1])])
+    emax = float((lam2[k - 1] + lam2[k]) / 2)
+    res = eigsh_sliced((0.0, emax), a, m0_max=20,
+                       params=FeastParams(tol=1e-10, dims=(g, g),
+                                          backend="multifrontal"))
+    assert res.n_found == k
+    np.testing.assert_allclose(np.sort(res.values), lam2[:k], rtol=1e-9)
+    assert float(np.max(res.residuals)) < 1e-8
+    assert np.all(np.diff(res.values) >= 0)  # merged ascending
+    # empty interval
+    empty = eigsh_sliced((100.0, 200.0), a, m0_max=20,
+                         params=FeastParams(max_loops=4, dims=(g, g)))
+    assert empty.n_found == 0 and empty.info == INFO_NO_EIGENVALUES
