@@ -72,6 +72,12 @@ class WELL:
     shape: tuple
     c_max: int
     fill: float  # nnz / padded capacity (diagnostic for format selection)
+    # per-vreg x-activity range over ACTIVE (nonzero-value) chunks, in
+    # x2-row units: lo > hi means no active chunk.  The windowed SpMM
+    # kernel derives per-row-tile x windows from these (kernels/spmv_well);
+    # None on packings predating the field — consumers must fall back.
+    base_lo: object = None  # (n_vregs,) int32, or None
+    base_hi: object = None  # (n_vregs,) int32, or None
 
     @property
     def is_complex(self) -> bool:
@@ -116,6 +122,26 @@ class WELL:
         return well_spmv(self, jnp.asarray(x))
 
 
+
+
+_BASE_LO_EMPTY = np.int32(2 ** 30)  # sentinel: vreg has no active chunk
+
+
+def _base_ranges(bases, vals, vals_im):
+    """Per-vreg (lo, hi) over chunks that carry any nonzero value.
+
+    Padding chunks store base 0 and all-zero values; including them would
+    drag every row-tile's x window to the origin and defeat the windowed
+    SpMM kernel, so they are masked out here.  Empty vregs report
+    (lo, hi) = (2^30, -1) — lo > hi.
+    """
+    active = (np.asarray(vals) != 0).any(axis=(2, 3))
+    if vals_im is not None:
+        active |= (np.asarray(vals_im) != 0).any(axis=(2, 3))
+    b = np.asarray(bases).astype(np.int64)
+    lo = np.where(active, b, np.int64(_BASE_LO_EMPTY)).min(axis=1)
+    hi = np.where(active, b, np.int64(-1)).max(axis=1)
+    return lo.astype(np.int32), hi.astype(np.int32)
 
 
 def _pad_vregs(bases, idx, vals, vals_im, multiple=16):
@@ -170,6 +196,8 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
             vals_im=(None if vals_im is None
                      else jnp.asarray(z.astype(vals.dtype))),
             shape=(nr, nc), c_max=cm, fill=0.0,
+            base_lo=jnp.full((n_vregs,), _BASE_LO_EMPTY, jnp.int32),
+            base_hi=jnp.full((n_vregs,), -1, jnp.int32),
         )
 
     # ---- native fast path ---------------------------------------------------
@@ -189,6 +217,7 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
             (packed["vals_im"].astype(vals.dtype)
              if vals_im is not None else None),
         )
+        blo, bhi = _base_ranges(pb, pv, pim)
         return WELL(
             # int32 explicitly: with x64 enabled jnp.asarray keeps the
             # packer's int64, which Mosaic cannot lower in the kernel
@@ -199,6 +228,8 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
             shape=(nr, nc),
             c_max=cm,
             fill=float(nnz / max(packed["vals"].size, 1)),
+            base_lo=jnp.asarray(blo),
+            base_hi=jnp.asarray(bhi),
         )
 
     v = rows >> 10                 # output vreg
@@ -319,6 +350,7 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
 
     fill = nnz / max(out_vals.size, 1)
     bases, idx, out_vals, out_im = _pad_vregs(bases, idx, out_vals, out_im)
+    blo, bhi = _base_ranges(bases, out_vals, out_im)
     return WELL(
         bases=jnp.asarray(bases),
         idx=jnp.asarray(idx),
@@ -327,4 +359,6 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
         shape=(nr, nc),
         c_max=int(c_max),
         fill=float(fill),
+        base_lo=jnp.asarray(blo),
+        base_hi=jnp.asarray(bhi),
     )

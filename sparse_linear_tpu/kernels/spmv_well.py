@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["well_spmv", "well_spmm"]
+__all__ = ["well_spmv", "well_spmm", "well_spmm_planes"]
 
 _LANES = 128
 _VREG_ROWS = 1024
@@ -143,24 +143,109 @@ def _spmm_kernel(bases_ref, x_ref, idx_ref, vals_ref, o_ref, *, c_max: int,
             o_ref[t, pl.ds(b * 8, 8), :] = accs[t]
 
 
+def _spmm_kernel_win(bases_ref, ub_ref, xa_ref, xb_ref, idx_ref, vals_ref,
+                     o_ref, *, c_max: int, vb: int, mt: int, uvr: int):
+    """Windowed multi-RHS WELL kernel.
+
+    Each row tile sees only its own 2-unit x window (selected per tile by
+    the scalar-prefetched unit table ``ub_ref`` through the BlockSpec index
+    maps), so ALL mt RHS columns stay VMEM-resident regardless of nc and the
+    A stream is read once per ceil(m/mt) — for typical m, exactly once.
+    Bases arrive window-relative in [0, 2*uvr-8]; a chunk reads its x vreg
+    from unit A or unit B by a branchless per-chunk select (bases are
+    8-aligned and uvr is a multiple of 8, so a window never straddles the
+    unit boundary)."""
+    del ub_ref  # consumed by the BlockSpec index maps
+    step_v = pl.program_id(1)
+    out_dtype = o_ref.dtype
+    for b in range(vb):
+        accs = [jnp.zeros((8, _LANES), out_dtype) for _ in range(mt)]
+        for c in range(c_max):
+            base = bases_ref[(step_v * vb + b) * c_max + c]
+            in_b = base >= uvr
+            ba = jnp.minimum(base, np.int32(uvr - 8))
+            bb = jnp.maximum(base - np.int32(uvr), _I0)
+            packed = idx_ref[b, c]
+            hi = packed >> 7
+            lo = packed & 127
+            val = vals_ref[b, c]
+            for t in range(mt):
+                wa = xa_ref[t, pl.ds(ba, 8), :]
+                wb = xb_ref[t, pl.ds(bb, 8), :]
+                w = jnp.where(in_b, wb, wa)
+                p = _gather_sublanes(w, hi)
+                g = _gather_lanes(p, lo)
+                accs[t] = accs[t] + val * g
+        for t in range(mt):
+            o_ref[t, pl.ds(b * 8, 8), :] = accs[t]
+
+
 # VMEM budget for the resident X tile (bytes).  The gather windows may land
 # anywhere in a column, so a whole zero-padded column must sit in VMEM; the
 # RHS tile height adapts to fit (double-buffered by Pallas).
 _X_TILE_BUDGET = 40 * 2 ** 20
+# unrolled inner-body budget: vb * c_max * mt bodies
+_MT_CAP = 16
+
+_WIN_PLAN_CACHE: dict = {}
+_WIN_PLAN_CACHE_MAX = 16
+
+
+def _window_plan(a, vb: int):
+    """Per-row-tile x-window plan for the windowed SpMM kernel, or None.
+
+    Host-side, derived from the packing's per-vreg activity ranges
+    (formats/well.py ``base_lo``/``base_hi``): the unit size ``uvr`` is the
+    max tile span rounded to x-vreg alignment, ``ub[tile]`` the tile's first
+    unit, and ``rel`` the window-relative chunk bases.  Returns
+    ``(uvr, ub, rel, n_units)``; None when the packing predates the ranges
+    or the arrays are traced (then only the resident kernel applies)."""
+    lo = getattr(a, "base_lo", None)
+    hi = getattr(a, "base_hi", None)
+    if lo is None or hi is None:
+        return None
+    if any(isinstance(v, jax.core.Tracer) for v in (lo, hi, a.bases)):
+        return None
+    nv, cm = a.bases.shape
+    bases_np = np.asarray(a.bases).astype(np.int64)
+    key = (nv, cm, vb, hash(bases_np.tobytes()))
+    plan = _WIN_PLAN_CACHE.get(key)
+    if plan is not None:
+        return plan
+    n_t = nv // vb
+    lo_t = np.asarray(lo).astype(np.int64).reshape(n_t, vb).min(1)
+    hi_t = np.asarray(hi).astype(np.int64).reshape(n_t, vb).max(1)
+    empty = hi_t < lo_t  # all-padding tiles: pin their window to unit 0
+    lo_t = np.where(empty, 0, lo_t)
+    hi_t = np.where(empty, 0, hi_t)
+    span = int((hi_t + 8 - lo_t).max())
+    uvr = max(-(-span // 8) * 8, 8)
+    ub = lo_t // uvr
+    # coverage: lo_t >= ub*uvr and hi_t + 8 <= lo_t + span <= (ub+2)*uvr
+    if not ((hi_t + 8) <= (ub + 2) * uvr).all():  # pragma: no cover
+        return None
+    off = np.repeat(ub * uvr, vb)[:, None]
+    rel = np.clip(bases_np - off, 0, 2 * uvr - 8).astype(np.int32)
+    plan = (int(uvr), ub.astype(np.int32), rel.reshape(-1), int(ub.max()) + 2)
+    if len(_WIN_PLAN_CACHE) >= _WIN_PLAN_CACHE_MAX:
+        _WIN_PLAN_CACHE.pop(next(iter(_WIN_PLAN_CACHE)))
+    _WIN_PLAN_CACHE[key] = plan
+    return plan
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "vb", "mt"))
-def _well_spmm_real(a, x, interpret=False, vb=8, mt=8):
-    """Y = A @ X for WELL storage and dense real X (nc, m).
+def _spmm_resident(a, xp, interpret=False, vb=8, mt=8):
+    """Plane-major resident-X SpMM: xp (m, nc) -> (m, nr).
 
     Grid (RHS tiles, vreg tiles) with the vreg axis minor: the X tile stays
     VMEM-resident across the whole A sweep (fetched once per RHS tile), and
     each vreg tile's chunk index/value planes are shared by the mt resident
-    RHS columns — the A stream is read ceil(m/mt) times total, so the tile
-    height is made as large as the VMEM budget allows."""
+    RHS columns — the A stream is read ceil(m/mt) times total.  The
+    fallback path when no window plan exists (traced WELL, pre-range
+    packings) or when windows would not beat full residency."""
     nr, nc = a.shape
     nv, cm = a.bases.shape
-    m = x.shape[1]
+    m = xp.shape[0]
     while nv % vb:
         vb //= 2
     vb = max(vb, 1)
@@ -171,7 +256,7 @@ def _well_spmm_real(a, x, interpret=False, vb=8, mt=8):
     m_pad = -(-m // mt) * mt
     # windows may start in the last (partial) vreg of x: pad one extra vreg
     x2 = jnp.pad(
-        x.T.astype(a.vals.dtype),
+        xp.astype(a.vals.dtype),
         ((0, m_pad - m), (0, nc_pad + _VREG_ROWS - nc)),
     ).reshape(m_pad, -1, _LANES)
 
@@ -201,19 +286,103 @@ def _well_spmm_real(a, x, interpret=False, vb=8, mt=8):
         interpret=interpret,
     )
     y2 = f(a.bases.reshape(-1), x2, a.idx, a.vals)
-    return y2.reshape(m_pad, -1)[:m, :nr].T
+    return y2.reshape(m_pad, -1)[:m, :nr]
 
 
-def well_spmm(a, x, interpret: bool | None = None, vb: int = 8, mt: int = 8):
-    """Y = A @ X for WELL storage, X dense (nc, m).  Real dtypes on TPU
-    (32-bit); complex and f64 compose from real plane passes exactly like
-    :func:`well_spmv`."""
-    x = jnp.asarray(x)
-    if x.ndim == 1:
-        return well_spmv(a, x, interpret=interpret)
-    if x.shape[0] != a.shape[1]:
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "vb", "mt", "uvr", "n_units"))
+def _spmm_windowed(a, xp, rel, ub, interpret=False, vb=8, mt=8, uvr=8,
+                   n_units=2):
+    """Plane-major windowed SpMM: xp (m, nc) -> (m, nr); see
+    :func:`_spmm_kernel_win`."""
+    nr, nc = a.shape
+    nv, cm = a.bases.shape
+    m = xp.shape[0]
+    m_pad = -(-m // mt) * mt
+    rows_x = n_units * uvr
+    target = rows_x * _LANES
+    xp = xp.astype(a.vals.dtype)
+    if target < nc:
+        # active windows never reach past ``target`` columns (the plan is
+        # built from the activity ranges): the tail of x is dead weight
+        xp = xp[:, :target]
+    x3 = jnp.pad(
+        xp, ((0, m_pad - m), (0, target - xp.shape[1]))
+    ).reshape(m_pad, rows_x, _LANES)
+
+    grid = (m_pad // mt, nv // vb)
+    f = pl.pallas_call(
+        functools.partial(_spmm_kernel_win, c_max=cm, vb=vb, mt=mt, uvr=uvr),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((mt, uvr, _LANES),
+                             lambda t, v, sb, su: (t, su[v], _I0)),
+                pl.BlockSpec((mt, uvr, _LANES),
+                             lambda t, v, sb, su: (t, su[v] + 1, _I0)),
+                pl.BlockSpec((vb, cm, 8, _LANES),
+                             lambda t, v, sb, su: (v, _I0, _I0, _I0)),
+                pl.BlockSpec((vb, cm, 8, _LANES),
+                             lambda t, v, sb, su: (v, _I0, _I0, _I0)),
+            ],
+            out_specs=pl.BlockSpec((mt, vb * 8, _LANES),
+                                   lambda t, v, sb, su: (t, v, _I0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m_pad, nv * 8, _LANES), a.vals.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )
+    y3 = f(rel, ub, x3, x3, a.idx, a.vals)
+    return y3.reshape(m_pad, -1)[:m, :nr]
+
+
+def _spmm_planes_real(a, xp, interpret, vb, mt, force=None):
+    """Route a real plane-major SpMM to the windowed or resident kernel.
+
+    Windowed wins whenever it makes more RHS columns resident than full-x
+    residency allows (A then streams fewer times); ``force`` pins a path
+    for tests."""
+    nv = a.bases.shape[0]
+    while nv % vb:
+        vb //= 2
+    vb = max(vb, 1)
+    nr, nc = a.shape
+    m = xp.shape[0]
+    itemsize = jnp.dtype(a.vals.dtype).itemsize
+    nc_pad = max(-(-nc // _VREG_ROWS) * _VREG_ROWS, _VREG_ROWS)
+    mt_res = max(1, min(mt, _X_TILE_BUDGET
+                        // ((nc_pad + _VREG_ROWS) * itemsize)))
+    plan = None if force == "resident" else _window_plan(a, vb)
+    if plan is not None:
+        uvr, ub, rel, n_units = plan
+        mt_win = max(1, min(m, _MT_CAP,
+                            _X_TILE_BUDGET // (2 * uvr * _LANES * itemsize)))
+        if force == "windowed" or (mt_win > mt_res and mt_win >= min(m, 4)):
+            return _spmm_windowed(
+                a, xp, jnp.asarray(rel), jnp.asarray(ub),
+                interpret=interpret, vb=vb, mt=mt_win, uvr=uvr,
+                n_units=n_units,
+            )
+    if force == "windowed":
+        raise ValueError("well_spmm: no window plan available "
+                         "(packing has no base ranges or operands traced)")
+    return _spmm_resident(a, xp, interpret=interpret, vb=vb, mt=mt)
+
+
+def well_spmm_planes(a, xp, interpret: bool | None = None, vb: int = 8,
+                     mt: int = 8, _force=None):
+    """Plane-major multi-RHS SpMM: ``xp`` of shape (m, nc), one RHS per ROW,
+    returns (m, nr).  The kernel-native layout — iterative consumers that
+    keep their block in plane-major chain SpMMs with zero transposes
+    (:func:`well_spmm` is this plus a transpose on each side)."""
+    xp = jnp.asarray(xp)
+    if xp.ndim != 2 or xp.shape[1] != a.shape[1]:
         raise ValueError(
-            f"well_spmm: dimension mismatch {a.shape} @ {x.shape}"
+            f"well_spmm_planes: expected (m, {a.shape[1]}) planes, got "
+            f"{xp.shape}"
         )
     if interpret is None:
         interpret = _interpret_default()
@@ -223,12 +392,29 @@ def well_spmm(a, x, interpret: bool | None = None, vb: int = 8, mt: int = 8):
             "store the WELL in f32 (pair with iterative refinement), use "
             "BSR for f64 SpMM, or run off-TPU"
         )
+    run = functools.partial(_spmm_planes_real, interpret=interpret, vb=vb,
+                            mt=mt, force=_force)
     a_im = getattr(a, "vals_im", None)
-    if a_im is None and not jnp.iscomplexobj(x):
-        return _well_spmm_real(a, x, interpret=interpret, vb=vb, mt=mt)
-    run = functools.partial(_well_spmm_real, interpret=interpret, vb=vb,
-                            mt=mt)
-    return _complex_planes(run, a, x)
+    if a_im is None and not jnp.iscomplexobj(xp):
+        return run(a, xp)
+    return _complex_planes(run, a, xp)
+
+
+def well_spmm(a, x, interpret: bool | None = None, vb: int = 8, mt: int = 8):
+    """Y = A @ X for WELL storage, X dense (nc, m).  Real dtypes on TPU
+    (32-bit); complex and f64 compose from real plane passes exactly like
+    :func:`well_spmv`.  Column-major convenience over
+    :func:`well_spmm_planes` — chained/iterative callers should hold their
+    block plane-major and call that directly (saves two (n, m) relayouts
+    per product)."""
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        return well_spmv(a, x, interpret=interpret)
+    if x.shape[0] != a.shape[1]:
+        raise ValueError(
+            f"well_spmm: dimension mismatch {a.shape} @ {x.shape}"
+        )
+    return well_spmm_planes(a, x.T, interpret=interpret, vb=vb, mt=mt).T
 
 
 def _complex_planes(run, a, x):

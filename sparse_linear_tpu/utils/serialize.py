@@ -149,6 +149,9 @@ def save_well(path, well):
     )
     if well.vals_im is not None:
         payload["vals_im"] = np.asarray(well.vals_im)
+    if getattr(well, "base_lo", None) is not None:
+        payload["base_lo"] = np.asarray(well.base_lo)
+        payload["base_hi"] = np.asarray(well.base_hi)
     np.savez_compressed(path, **payload)
 
 
@@ -157,16 +160,24 @@ def load_well(path):
 
     from sparse_linear_tpu.formats.well import WELL
 
+    from sparse_linear_tpu.formats.well import _base_ranges
+
     with np.load(path, allow_pickle=False) as z:
         if str(z["kind"]) != "well":
             raise ValueError("not a WELL checkpoint")
+        vals_im = z["vals_im"] if "vals_im" in z.files else None
+        if "base_lo" in z.files:
+            blo, bhi = z["base_lo"], z["base_hi"]
+        else:  # checkpoint predates the windowed-SpMM activity ranges
+            blo, bhi = _base_ranges(z["bases"], z["vals"], vals_im)
         return WELL(
             bases=jnp.asarray(z["bases"]),
             idx=jnp.asarray(z["idx"]),
             vals=jnp.asarray(z["vals"]),
-            vals_im=(jnp.asarray(z["vals_im"]) if "vals_im" in z.files
-                     else None),
+            vals_im=None if vals_im is None else jnp.asarray(vals_im),
             shape=tuple(int(v) for v in z["shape"]),
             c_max=int(z["c_max"]),
             fill=float(z["fill"]),
+            base_lo=jnp.asarray(blo),
+            base_hi=jnp.asarray(bhi),
         )

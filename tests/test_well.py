@@ -201,6 +201,81 @@ def test_well_spmm_complex_planes(rng):
     )
 
 
+def test_well_spmm_windowed_matches_resident(rng):
+    """The windowed kernel (per-row-tile x windows from the packing's
+    activity ranges) must agree with the resident kernel and dense ground
+    truth on both banded and unstructured patterns."""
+    from sparse_linear_tpu.kernels.spmv_well import (
+        _window_plan, well_spmm_planes)
+
+    nr = nc = 1800
+    m = 6
+    x = rng.standard_normal((m, nc)).astype(np.float32)
+    # banded: windows are tight, the plan engages with a small unit size
+    rows = np.concatenate([np.arange(nr)] * 3)
+    cols = np.concatenate([
+        np.arange(nr),
+        np.clip(np.arange(nr) + 64, 0, nc - 1),
+        np.clip(np.arange(nr) - 512, 0, nc - 1),
+    ])
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    # unstructured: windows span everything, still must be correct
+    u_rows = rng.integers(0, nr, size=4000)
+    u_cols = rng.integers(0, nc, size=4000)
+    u_vals = rng.standard_normal(4000).astype(np.float32)
+    for r, c, v in ((rows, cols, vals), (u_rows, u_cols, u_vals)):
+        a = sl.from_triples((nr, nc), r, c, v).tocsr()
+        w = csr_to_well(a)
+        assert _window_plan(w, 8) is not None
+        ref = (np.asarray(a.todense()) @ x.T).T
+        y_win = well_spmm_planes(w, jnp.asarray(x), _force="windowed")
+        y_res = well_spmm_planes(w, jnp.asarray(x), _force="resident")
+        np.testing.assert_allclose(np.asarray(y_win), ref, rtol=2e-5,
+                                   atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(y_win), np.asarray(y_res))
+
+
+def test_well_spmm_windowed_complex(rng):
+    """Complex planes route through the windowed kernel too."""
+    from sparse_linear_tpu.kernels.spmv_well import well_spmm_planes
+
+    nr, nc, m = 600, 500, 4
+    n = 3000
+    rows = rng.integers(0, nr, size=n)
+    cols = rng.integers(0, nc, size=n)
+    vals = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    a = sl.from_triples((nr, nc), rows, cols, vals).tocsr()
+    w = csr_to_well(a)
+    x = (rng.standard_normal((m, nc)) + 1j * rng.standard_normal((m, nc)))
+    y = well_spmm_planes(w, jnp.asarray(x), _force="windowed")
+    ref = (np.asarray(a.todense()) @ x.T).T
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-10)
+
+
+def test_well_base_ranges_serialize_roundtrip(rng, tmp_path):
+    """base_lo/base_hi survive a save/load cycle; legacy checkpoints
+    (no ranges) re-derive them on load."""
+    from sparse_linear_tpu.utils.serialize import load_well, save_well
+
+    a = _random_csr(rng, 300, 260, 0.03)
+    w = csr_to_well(a)
+    p = tmp_path / "w.npz"
+    save_well(p, w)
+    w2 = load_well(p)
+    np.testing.assert_array_equal(np.asarray(w2.base_lo),
+                                  np.asarray(w.base_lo))
+    np.testing.assert_array_equal(np.asarray(w2.base_hi),
+                                  np.asarray(w.base_hi))
+    # strip the ranges to emulate a pre-windowed-kernel checkpoint
+    with np.load(p, allow_pickle=False) as z:
+        payload = {k: z[k] for k in z.files if not k.startswith("base_")}
+    p_old = tmp_path / "w_old.npz"
+    np.savez_compressed(p_old, **payload)
+    w3 = load_well(p_old)
+    np.testing.assert_array_equal(np.asarray(w3.base_lo),
+                                  np.asarray(w.base_lo))
+
+
 def test_well_spmm_vector_and_mismatch(rng):
     """1-D x falls through to well_spmv; dimension mismatch raises."""
     from sparse_linear_tpu.kernels.spmv_well import well_spmm
