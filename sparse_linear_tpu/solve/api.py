@@ -47,6 +47,8 @@ __all__ = [
     "factor",
     "solve",
     "solve_many",
+    "solve_part",
+    "SOLVE_PART_SYS",
     "solve_refined",
     "factor_batched",
     "solve_batched",
@@ -200,6 +202,64 @@ def solve_many(factors: Factors, bs, trans: bool = False):
     RHS serially (Umfpack.hs:43-46, Feast.hs:197-201); here the batch is one
     device call (build component P2, SURVEY.md §2.4)."""
     return solve(factors, bs, trans=trans)
+
+
+SOLVE_PART_SYS = ("Pt_L", "L", "Lt_P", "Lat_P", "Lt", "Lat",
+                  "U_Qt", "U", "Ut_Q", "Uat_Q", "Ut", "Uat")
+
+
+def solve_part(factors: Factors, b, sys: str):
+    """Partial solves with the stored factors — the rest of UMFPACK's
+    ``umfpack_*_solve`` subsystem surface (sys codes UMFPACK_Pt_L ..
+    UMFPACK_Uat, umfpack.h; the reference binds only sys=0/1,
+    Internal.hs:141-142).  ``sys`` is spelled after the UMFPACK constant
+    with the ``UMFPACK_`` prefix dropped; systems are defined over
+    ``get_factors``'s exported (L, U, row_perm, col_perm), e.g.
+    ``sys="Pt_L"`` solves P^T L x = b and ``sys="U_Qt"`` solves
+    U Q^T x = b.  ``t`` = conjugate transpose, ``at`` = plain ("array")
+    transpose, matching UMFPACK's naming.  Like UMFPACK, the factors are
+    used AS STORED (no equilibration scaling is applied)."""
+    if sys not in SOLVE_PART_SYS:
+        raise ValueError(
+            f"solve_part: unknown sys {sys!r} (expected one of "
+            f"{SOLVE_PART_SYS})")
+    if factors.backend == "multifrontal":
+        from sparse_linear_tpu.solve import multifrontal
+
+        return multifrontal.solve_part(factors, b, sys)
+    if factors.backend != "dense":
+        raise ValueError(f"unknown backend: {factors.backend}")
+    if sys in ("Lat", "Lat_P", "Uat", "Uat_Q"):
+        x = solve_part(factors, jnp.conj(jnp.asarray(b)),
+                       {"Lat": "Lt", "Lat_P": "Lt_P", "Uat": "Ut",
+                        "Uat_Q": "Ut_Q"}[sys])
+        return jnp.conj(x)
+    lu, piv = factors.payload
+    if getattr(factors, "batch", None) is not None:
+        raise ValueError("solve_part: batched factors are not supported — "
+                         "index one value-set out first")
+    b = jnp.asarray(b)
+    # LAPACK ipiv (sequential swaps) -> row order rp with A[rp] = L U
+    piv_np = np.asarray(piv)
+    n = lu.shape[-1]
+    rp = np.arange(n)
+    for i, pi in enumerate(piv_np):
+        rp[[i, pi]] = rp[[pi, i]]
+    irp = np.empty(n, dtype=np.int64)
+    irp[rp] = np.arange(n)
+    tri = jax.scipy.linalg.solve_triangular
+    if sys == "Pt_L":
+        return tri(lu, b[rp], lower=True, unit_diagonal=True)
+    if sys == "L":
+        return tri(lu, b, lower=True, unit_diagonal=True)
+    if sys == "Lt":
+        return tri(lu, b, lower=True, unit_diagonal=True, trans="C")
+    if sys == "Lt_P":
+        return tri(lu, b, lower=True, unit_diagonal=True, trans="C")[irp]
+    if sys in ("U", "U_Qt"):       # col_perm is identity for dense LU
+        return tri(lu, b, lower=False)
+    # "Ut" / "Ut_Q" (col_perm identity)
+    return tri(lu, b, lower=False, trans="C")
 
 
 def factor_batched(pattern_mat, data_stack, symbolic: Symbolic,

@@ -49,7 +49,7 @@ from sparse_linear_tpu.formats.matrix import CSR
 from sparse_linear_tpu.ops.build import trim
 
 __all__ = ["analyze", "factor", "factor_batched", "solve", "solve_batched",
-           "slogdet", "rcond", "get_factors", "lunz",
+           "solve_part", "slogdet", "rcond", "get_factors", "lunz",
            "MFSymbolic", "MFFactors"]
 
 
@@ -716,7 +716,19 @@ def _sym_cache_key(sym: MFSymbolic):
     )
 
 
-def _build_solve_fn(symbolic: MFSymbolic, trans: bool, kind: str = "lu"):
+def _build_solve_fn(symbolic: MFSymbolic, trans: bool, kind: str = "lu",
+                    phase: str = "both"):
+    """``phase`` selects a half of the substitution pipeline:
+
+    * ``"both"`` (default) — the full A / A^H solve: entry fill-order
+      gather, forward + backward loops, exit inverse gather, scaling.
+    * ``"forward"`` / ``"backward"`` — ONE loop only, operating directly in
+      fill-slot coordinates (no entry/exit permutation, no equilibration
+      scaling): the building blocks of UMFPACK's partial-solve systems
+      (sys=UMFPACK_Pt_L .. UMFPACK_Uat, umfpack.h) exposed via
+      ``solve_part``.  Input/output index conventions per phase are
+      documented at ``solve_part``.
+    """
     flat = symbolic.schedule["flat"]
     level_buckets = symbolic.schedule["level_buckets"]
     height = symbolic.schedule["height"]
@@ -725,6 +737,9 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool, kind: str = "lu"):
     # identity local permutations; the four triangular solves below switch
     # their (lower, trans, unit_diagonal) flags accordingly.
     chol = kind == "cholesky"
+    do_fwd = phase in ("both", "forward")
+    do_bwd = phase in ("both", "backward")
+    full = phase == "both"
 
     def run(blocks, b, dm):
         with jax.default_matmul_precision("highest"):
@@ -739,15 +754,16 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool, kind: str = "lu"):
         # ORIGINAL row coordinates — apply before the fill-order gather /
         # after the inverse gather.
         sc = blocks.get(-2)
-        if sc is not None and (chol or not trans):
+        if full and sc is not None and (chol or not trans):
             b = b * sc["rscale"][:, None]
         # y carries an extra sentinel row (index n) absorbing padded gathers
         y = jnp.concatenate(
-            [b[dm["perm"]], jnp.zeros((1, k), b.dtype)], axis=0
+            [b[dm["perm"]] if full else b, jnp.zeros((1, k), b.dtype)],
+            axis=0,
         )
         if not trans:
             # forward: z_s = L^{-1} P y_piv ; y_upd -= G21 z_s
-            for lvl in range(height + 1):
+            for lvl in range(height + 1) if do_fwd else ():
                 for bidx in level_buckets[lvl]:
                     blk = blocks[bidx]
                     piv, upd = dm["rows_piv"][bidx], dm["rows_upd"][bidx]
@@ -768,7 +784,7 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool, kind: str = "lu"):
                         mode="drop",
                     )
             # backward: x_piv = U^{-1} (z_piv - G12 x_upd)
-            for lvl in range(height, -1, -1):
+            for lvl in range(height, -1, -1) if do_bwd else ():
                 for bidx in level_buckets[lvl]:
                     blk = blocks[bidx]
                     piv, upd = dm["rows_piv"][bidx], dm["rows_upd"][bidx]
@@ -786,7 +802,7 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool, kind: str = "lu"):
         else:
             # A'^H = U^H L^H P:
             # forward (bottom-up): w = U^{-H} y_piv ; y_upd -= G12^H w
-            for lvl in range(height + 1):
+            for lvl in range(height + 1) if do_fwd else ():
                 for bidx in level_buckets[lvl]:
                     blk = blocks[bidx]
                     piv, upd = dm["rows_piv"][bidx], dm["rows_upd"][bidx]
@@ -806,7 +822,7 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool, kind: str = "lu"):
                         mode="drop",
                     )
             # backward (top-down): v = L^{-H}(w - G21^H v_upd); x = P^T v
-            for lvl in range(height, -1, -1):
+            for lvl in range(height, -1, -1) if do_bwd else ():
                 for bidx in level_buckets[lvl]:
                     blk = blocks[bidx]
                     piv, upd = dm["rows_piv"][bidx], dm["rows_upd"][bidx]
@@ -828,8 +844,8 @@ def _build_solve_fn(symbolic: MFSymbolic, trans: bool, kind: str = "lu"):
                         ].set(v)
                     y = y.at[piv].set(x, mode="drop")
 
-        x = y[:n][dm["iperm"]]
-        if sc is not None and (chol or trans):
+        x = y[:n][dm["iperm"]] if full else y[:n]
+        if full and sc is not None and (chol or trans):
             x = x * sc["rscale"][:, None]
         return x
 
@@ -1123,6 +1139,123 @@ def lunz(factors: MFFactors, index: int | None = None):
     UMFPACK's ``umfpack_*_get_lunz`` (umfpack.h)."""
     L, U, _, _ = get_factors(factors, index=index)
     return int(L.nnz), int(U.nnz)
+
+
+def _elim_index(factors: MFFactors) -> np.ndarray:
+    """Fill slot -> final elimination position (host, cached on the factor
+    object): the composition of the in-front partial-pivot permutations,
+    exactly as ``get_factors`` uses to place L21 rows.  Identity for
+    Cholesky (no pivoting)."""
+    cached = getattr(factors, "_eindex", None)
+    if cached is not None:
+        return cached
+    sym = factors.symbolic
+    n = sym.n
+    eindex = np.arange(n, dtype=np.int64)
+    if factors.kind != "cholesky":
+        for bidx, b in enumerate(sym.schedule["flat"]):
+            lp = np.asarray(factors.blocks[bidx]["perm"]).astype(np.int64)
+            piv = b["rows_piv"].astype(np.int64)
+            real = np.arange(lp.shape[1])[None, :] < b["ns_real"][:, None]
+            src = np.take_along_axis(piv, lp, axis=1)
+            eindex[src[real]] = piv[real]
+    factors._eindex = eindex
+    return eindex
+
+
+_PART_SYS = ("Pt_L", "L", "Lt_P", "Lat_P", "Lt", "Lat",
+             "U_Qt", "U", "Ut_Q", "Uat_Q", "Ut", "Uat")
+
+
+def solve_part(factors: MFFactors, b, sys: str):
+    """Partial solves with the stored factors — UMFPACK's remaining solve
+    subsystems (``umfpack_*_solve`` sys codes UMFPACK_Pt_L .. UMFPACK_Uat,
+    umfpack.h; the reference binds only sys=0/1, Internal.hs:141-142,
+    Umfpack.hs:85-102).
+
+    ``sys`` names the system solved in terms of ``get_factors``'s exported
+    (L, U, row_perm, col_perm) with ``A[row_perm][:, col_perm] == L @ U``;
+    P gathers rows by ``row_perm`` (P b = b[row_perm]) and Q gathers
+    columns by ``col_perm``:
+
+    ========  ====================  =========================
+    sys       system                UMFPACK constant
+    ========  ====================  =========================
+    "Pt_L"    P^T L x = b           UMFPACK_Pt_L
+    "L"       L x = b               UMFPACK_L
+    "Lt_P"    L^H P x = b           UMFPACK_Lt_P
+    "Lat_P"   L^T P x = b           UMFPACK_Lat_P
+    "Lt"      L^H x = b             UMFPACK_Lt
+    "Lat"     L^T x = b             UMFPACK_Lat
+    "U_Qt"    U Q^T x = b           UMFPACK_U_Qt
+    "U"       U x = b               UMFPACK_U
+    "Ut_Q"    U^H Q x = b           UMFPACK_Ut_Q
+    "Uat_Q"   U^T Q x = b           UMFPACK_Uat_Q
+    "Ut"      U^H x = b             UMFPACK_Ut
+    "Uat"     U^T x = b             UMFPACK_Uat
+    ========  ====================  =========================
+
+    Like UMFPACK, partial solves use the factors AS STORED: an equilibrated
+    factorization (``factor(..., scale=)``) exports the scaled operator's
+    factors, and no R scaling is applied here.  Runs the level-batched
+    triangular pipeline (one phase of the full solve) on device.
+    """
+    if sys not in _PART_SYS:
+        raise ValueError(
+            f"solve_part: unknown sys {sys!r} (expected one of {_PART_SYS})")
+    if getattr(factors, "batch", None) is not None:
+        raise ValueError(
+            "solve_part: batched factors are not supported — factor the "
+            "value-set you need (or index it out) first")
+    sym = factors.symbolic
+    b = jnp.asarray(b)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    if b.shape[0] != sym.n:
+        raise ValueError(
+            f"solve_part: rhs has {b.shape[0]} rows, expected {sym.n}")
+
+    # conjugate-transpose systems reduce to the Hermitian ones
+    if sys in ("Lat", "Lat_P", "Uat", "Uat_Q"):
+        xc = solve_part(factors, jnp.conj(b),
+                        {"Lat": "Lt", "Lat_P": "Lt_P", "Uat": "Ut",
+                         "Uat_Q": "Ut_Q"}[sys])
+        return jnp.conj(xc)
+
+    trans, phase = {
+        "Pt_L": (False, "forward"), "L": (False, "forward"),
+        "U": (False, "backward"), "U_Qt": (False, "backward"),
+        "Ut": (True, "forward"), "Ut_Q": (True, "forward"),
+        "Lt": (True, "backward"), "Lt_P": (True, "backward"),
+    }[sys]
+    dm = _device_maps(sym)
+    skey = (_sym_cache_key(sym), "solve_part", trans, phase,
+            int(b.shape[1]), str(b.dtype), factors.kind)
+    if skey not in _PROGRAM_CACHE:
+        _PROGRAM_CACHE[skey] = _build_solve_fn(sym, trans, factors.kind,
+                                               phase=phase)
+    run = _PROGRAM_CACHE[skey]
+
+    eindex = _elim_index(factors)
+    perm, iperm = np.asarray(sym.perm), np.asarray(sym.iperm)
+    # fill-slot input/output conventions of the two phase pipelines (see
+    # _build_solve_fn): forward takes c[s] = b_elim[eindex[s]] and returns
+    # elim-direct; backward takes elim-direct and returns fill-column x;
+    # trans-forward takes fill-column direct and returns elim-direct;
+    # trans-backward takes elim-direct and returns y[s] = v_elim[eindex[s]].
+    pre = {"Pt_L": perm, "L": eindex, "U": None, "U_Qt": None,
+           "Ut": None, "Ut_Q": None, "Lt": None, "Lt_P": None}[sys]
+    ein = np.empty_like(eindex)
+    ein[eindex] = np.arange(sym.n)
+    post = {"Pt_L": None, "L": None, "U": None, "U_Qt": iperm,
+            "Ut": None, "Ut_Q": perm, "Lt": ein, "Lt_P": iperm}[sys]
+    if pre is not None:
+        b = b[pre]
+    x = run(factors.blocks, b, dm)
+    if post is not None:
+        x = x[post]
+    return x[:, 0] if squeeze else x
 
 
 def solve(factors: MFFactors, b, trans: bool = False):

@@ -535,3 +535,108 @@ def test_cholesky_kind_matches_lu(rng):
         ak = a.map_values(lambda v, k=k: v * (1 + 0.25 * k))
         rk = np.linalg.norm(np.asarray(ak @ xs[k]) - np.asarray(bs[k]))
         assert rk < 1e-10
+
+
+def _partial_system_matrices(f, n):
+    """Dense operator of each solve_part system, from the exported factors
+    (ground truth: umfpack.h's sys definitions over get_numeric's L/U/P/Q)."""
+    L, U, rp, cp = solve_api.get_factors(f)
+    Ld, Ud = np.asarray(L.todense()), np.asarray(U.todense())
+    P = np.eye(n)[rp]          # P b = b[rp]
+    Q = np.eye(n)[cp].T        # Q^T x = x[cp]
+    return {
+        "Pt_L": P.T @ Ld, "L": Ld,
+        "Lt_P": Ld.conj().T @ P, "Lat_P": Ld.T @ P,
+        "Lt": Ld.conj().T, "Lat": Ld.T,
+        "U_Qt": Ud @ Q.T, "U": Ud,
+        "Ut_Q": Ud.conj().T @ Q, "Uat_Q": Ud.T @ Q,
+        "Ut": Ud.conj().T, "Uat": Ud.T,
+    }
+
+
+def _check_solve_part(f, n, rng, dtype=np.float64, tol=1e-9):
+    systems = _partial_system_matrices(f, n)
+    b = rng.standard_normal((n, 2)).astype(dtype)
+    if np.issubdtype(dtype, np.complexfloating):
+        b = b + 1j * rng.standard_normal((n, 2)).astype(dtype)
+    for sys_name, m in systems.items():
+        x = np.asarray(solve_api.solve_part(f, jnp.asarray(b), sys_name))
+        r = np.linalg.norm(m @ x - b) / np.linalg.norm(b)
+        assert r < tol, f"sys={sys_name}: rel residual {r:.2e}"
+    # single-RHS shape passthrough
+    x1 = np.asarray(solve_api.solve_part(f, jnp.asarray(b[:, 0]), "L"))
+    assert x1.shape == (n,)
+
+
+def test_solve_part_dense(rng, dtype):
+    """UMFPACK partial-solve subsystems (sys=UMFPACK_Pt_L..UMFPACK_Uat,
+    umfpack.h; the reference binds only sys=0/1, Internal.hs:141-142) —
+    dense backend, all 12 codes against the exported factors."""
+    n = 12
+    rows, cols, vals = random_coo(rng, n, n, dtype)
+    a = sl.from_triples((n, n), rows, cols, vals).tocsr()
+    a = sl.add(a, sl.eye(n, dtype=dtype).scale(8.0)).tocsr()
+    f = solve_api.factor(a)
+    _check_solve_part(f, n, rng, dtype)
+
+
+def test_solve_part_multifrontal_lu(rng):
+    """All 12 partial-solve codes through the level-batched multifrontal
+    pipeline, on an unsymmetric convection operator whose in-front pivot
+    permutations are non-trivial (row_perm != col_perm)."""
+    from sparse_linear_tpu.solve import multifrontal as mf
+
+    g = 8
+    cc = 1.2
+    rows, cols, vals = [], [], []
+    for i in range(g):
+        for j in range(g):
+            k0 = i * g + j
+            rows.append(k0), cols.append(k0), vals.append(4.0)
+            if j > 0:
+                rows.append(k0), cols.append(k0 - 1), vals.append(-1.0 - cc)
+            if j < g - 1:
+                rows.append(k0), cols.append(k0 + 1), vals.append(-1.0 + cc)
+            if i > 0:
+                rows.append(k0), cols.append(k0 - g), vals.append(-1.0 - cc)
+            if i < g - 1:
+                rows.append(k0), cols.append(k0 + g), vals.append(-1.0 + cc)
+    c = sl.from_triples(
+        (g * g, g * g), rows, cols, np.array(vals, dtype=np.float64)
+    ).tocsr()
+    f = mf.factor(c, mf.analyze(c, dims=(g, g)), kind="lu")
+    _check_solve_part(f, g * g, rng)
+    # composing the partial solves reproduces the full solve:
+    # A x = b  =>  x = Q U^{-1} L^{-1} P b = U_Qt after Pt_L
+    b = rng.standard_normal(g * g)
+    z = solve_api.solve_part(f, jnp.asarray(b), "Pt_L")
+    x = solve_api.solve_part(f, z, "U_Qt")
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(solve_api.solve(f, jnp.asarray(b))),
+        atol=1e-10)
+
+
+def test_solve_part_multifrontal_cholesky(rng):
+    """Partial solves on a Cholesky factorization (U = L^H, no pivoting)."""
+    from sparse_linear_tpu.solve import multifrontal as mf
+
+    g = 8
+    a = poisson_2d(g, dtype=np.float64)
+    f = mf.factor(a, mf.analyze(a, dims=(g, g)), kind="cholesky")
+    _check_solve_part(f, g * g, rng)
+
+
+def test_solve_part_rejects(rng):
+    """Unknown sys codes and batched factors are rejected with messages."""
+    from sparse_linear_tpu.solve import multifrontal as mf
+
+    n = 16
+    a = laplacian_1d(n, dtype=np.float64)
+    f = solve_api.factor(a)
+    with pytest.raises(ValueError, match="unknown sys"):
+        solve_api.solve_part(f, jnp.ones(n), "Z")
+    sym = mf.analyze(a)
+    stack = np.stack([np.asarray(a.data)] * 2)
+    fb = mf.factor_batched(stack, sym)
+    with pytest.raises(ValueError, match="batched"):
+        mf.solve_part(fb, jnp.ones(n), "L")
