@@ -239,6 +239,11 @@ def solve_part(factors: Factors, b, sys: str):
         raise ValueError("solve_part: batched factors are not supported — "
                          "index one value-set out first")
     b = jnp.asarray(b)
+    if b.shape[0] != lu.shape[-1]:
+        # validate before indexing with rp/irp: JAX gather clipping would
+        # otherwise turn a wrong-length rhs into silently wrong answers
+        raise ValueError(
+            f"solve_part: rhs has {b.shape[0]} rows, expected {lu.shape[-1]}")
     # LAPACK ipiv (sequential swaps) -> row order rp with A[rp] = L U
     piv_np = np.asarray(piv)
     n = lu.shape[-1]

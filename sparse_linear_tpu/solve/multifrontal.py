@@ -1216,12 +1216,14 @@ def solve_part(factors: MFFactors, b, sys: str):
         raise ValueError(
             f"solve_part: rhs has {b.shape[0]} rows, expected {sym.n}")
 
-    # conjugate-transpose systems reduce to the Hermitian ones
+    # conjugate-transpose systems reduce to the Hermitian ones; b was already
+    # expanded to (n, k), so re-apply the 1-D squeeze on the way out
     if sys in ("Lat", "Lat_P", "Uat", "Uat_Q"):
         xc = solve_part(factors, jnp.conj(b),
                         {"Lat": "Lt", "Lat_P": "Lt_P", "Uat": "Ut",
                          "Uat_Q": "Ut_Q"}[sys])
-        return jnp.conj(xc)
+        xc = jnp.conj(xc)
+        return xc[:, 0] if squeeze else xc
 
     trans, phase = {
         "Pt_L": (False, "forward"), "L": (False, "forward"),

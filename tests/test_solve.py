@@ -563,9 +563,18 @@ def _check_solve_part(f, n, rng, dtype=np.float64, tol=1e-9):
         x = np.asarray(solve_api.solve_part(f, jnp.asarray(b), sys_name))
         r = np.linalg.norm(m @ x - b) / np.linalg.norm(b)
         assert r < tol, f"sys={sys_name}: rel residual {r:.2e}"
-    # single-RHS shape passthrough
-    x1 = np.asarray(solve_api.solve_part(f, jnp.asarray(b[:, 0]), "L"))
-    assert x1.shape == (n,)
+    # single-RHS shape passthrough, including the plain-transpose ("at")
+    # codes that reduce through a conj recursion (advisor round-2 finding:
+    # the reduction used to skip the squeeze and return (n, 1))
+    for sys_name in ("L", "Lat", "Uat_Q"):
+        x1 = np.asarray(solve_api.solve_part(f, jnp.asarray(b[:, 0]),
+                                             sys_name))
+        assert x1.shape == (n,), f"sys={sys_name}: shape {x1.shape}"
+        r = np.linalg.norm(systems[sys_name] @ x1 - b[:, 0])
+        assert r / np.linalg.norm(b[:, 0]) < tol
+    # wrong-length rhs must raise, not silently clip-gather
+    with pytest.raises(ValueError, match="rows"):
+        solve_api.solve_part(f, jnp.asarray(b[: n - 1]), "Pt_L")
 
 
 def test_solve_part_dense(rng, dtype):
