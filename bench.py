@@ -202,22 +202,29 @@ def bench_spmm_well(well_spmv_gbs, grid=2048, m=16, dtype=jnp.float32):
     """Unstructured multi-RHS SpMM (the FEAST ijob=30/40 hot multiply at
     block width m).  Gate (VERDICT r1 item 5): effective bandwidth within
     4x of the WELL SpMV GB/s — the A-stream is read once per m columns, so
-    the in-register gathers are the only extra per-column cost."""
+    the in-register gathers are the only extra per-column cost.
+
+    Chained in the kernel-native PLANE-MAJOR layout (one RHS per row,
+    ``well_spmm_planes``) — the documented layout for iterative consumers,
+    exactly as the SpMV bench chains the kernel-native vreg layout; the
+    column-major ``well_spmm`` wrapper adds two (n, m) relayouts per call
+    that an iterative caller never pays."""
     from sparse_linear_tpu.formats.well import csr_to_well
-    from sparse_linear_tpu.kernels.spmv_well import well_spmm
+    from sparse_linear_tpu.kernels.spmv_well import well_spmm_planes
     from sparse_linear_tpu.utils.grids import poisson_2d
 
     a = poisson_2d(grid, dtype=np.dtype(dtype))
     nnz = a.nnz
     w = csr_to_well(a)
     n = grid * grid
-    x = jnp.ones((n, m), dtype) / n
+    x = jnp.ones((m, n), dtype) / n
 
     def make_chain(k):
         @jax.jit
         def chain(w, x):
             return jax.lax.fori_loop(
-                0, k, lambda i, x: well_spmm(w, x, interpret=False), x
+                0, k,
+                lambda i, x: well_spmm_planes(w, x, interpret=False), x
             )
         return chain
 
@@ -432,6 +439,7 @@ def main():
     # still leave the completed components on record.  SIGTERM/SIGALRM
     # (driver timeout) prints the composite over what DID finish.
     import signal
+    import threading
 
     components = []
 
@@ -444,13 +452,34 @@ def main():
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGALRM, _on_term)
 
+    # self-imposed deadline: a driver-side hard kill (SIGKILL) would leave
+    # NO parseable record at all, so well before any plausible external
+    # timeout a daemon thread prints the composite over the components that
+    # DID finish and exits 0 — the cold-compile worst case (the pivoted-LU
+    # program alone costs ~19 min of XLA compile on an empty persistent
+    # cache) degrades to a partial score instead of a missing BENCH record.
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "1380"))
+
+    def _deadline():
+        time.sleep(deadline_s)
+        if components:
+            print(json.dumps(_composite(components, partial=True)),
+                  flush=True)
+        else:
+            print(json.dumps({
+                "metric": "error_bench_deadline",
+                "value": 0.0, "unit": "none", "vs_baseline": 0.0,
+                "detail": f"no component finished within {deadline_s:.0f} s",
+            }), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=_deadline, daemon=True).start()
+
     # device discovery can HANG (not fail) when the TPU tunnel is down —
     # and a hung jax.devices() blocks in C, so Python SIGNAL handlers never
     # run (observed: neither SIGALRM nor the driver's SIGTERM fire).  A
     # daemon THREAD runs regardless: emit an explicit error line and exit
     # instead of dying silently on the driver's timeout.
-    import threading
-
     probe_done = threading.Event()
 
     def _probe_watchdog():
