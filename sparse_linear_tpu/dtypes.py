@@ -10,7 +10,7 @@ Here the same role is played by dtype-promotion helpers over jnp dtypes.
 TPU hardware supports f32/f64 (f64 emulated) and complex64 natively but NOT
 complex128; for double-precision complex work on TPU the solver layers use a
 split-complex representation (pairs of f64 arrays) — see
-:mod:`sparse_linear_tpu.utils.splitcomplex`.
+:mod:`sparse_linear_tpu.solve.complex_embed`.
 """
 
 from __future__ import annotations

@@ -111,7 +111,17 @@ def trim(mat):
         return trim(mat.T).T
     if isinstance(mat, COO):
         r = np.asarray(mat.row)
-        n = int(np.sum(r < mat.shape[0]))
+        valid = r < mat.shape[0]
+        n = int(np.sum(valid))
+        # slicing [:n] is only correct when the padding forms a SUFFIX (the
+        # _sort_dedup invariant); a hand-built COO with interior sentinels
+        # would silently drop real entries
+        if n and not valid[:n].all():
+            raise ValueError(
+                "trim: COO padding (row >= nrows) must be a suffix — "
+                "found sentinel entries interleaved with real ones; "
+                "normalize via tocsr()/coo_to_csr first"
+            )
         return COO(
             row=mat.row[:n],
             col=mat.col[:n],

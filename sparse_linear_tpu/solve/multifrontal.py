@@ -703,8 +703,35 @@ def factor(mat: CSR, symbolic: MFSymbolic, kind: str = "lu",
 # trans/k/dtype/kind) — never on factor values — so they are cached globally
 # by schedule content.  Without this, FEAST's 8 per-contour-node factor
 # objects each recompiled an identical ~30 s solve program (measured 261 s
-# for one batched 8-node solve at 65k dof).
-_PROGRAM_CACHE: dict = {}
+# for one batched 8-node solve at 65k dof).  Bounded LRU: a long-lived
+# process sweeping many patterns must not pin compiled executables (and
+# their HBM-resident constants) forever.
+_PROGRAM_CACHE_MAX = 32
+
+
+class _LRUCache(dict):
+    """Minimal insertion-order LRU over dict (hits re-insert the key)."""
+
+    def __init__(self, maxsize: int):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def __getitem__(self, key):
+        val = super().__getitem__(key)
+        # refresh recency
+        super().__delitem__(key)
+        super().__setitem__(key, val)
+        return val
+
+    def __setitem__(self, key, val):
+        if key in self:
+            super().__delitem__(key)
+        elif len(self) >= self.maxsize:
+            super().__delitem__(next(iter(self)))
+        super().__setitem__(key, val)
+
+
+_PROGRAM_CACHE: dict = _LRUCache(_PROGRAM_CACHE_MAX)
 
 
 def _sym_cache_key(sym: MFSymbolic):

@@ -225,11 +225,12 @@ def test_real_tpu_fast_path_on_cpu():
     clear_pipeline_cache()
 
 
+@pytest.mark.slow
 def test_count_eigenvalues():
     """FEAST 4.x stochastic estimate (fpm(14)=2 analog): the Hutchinson
     trace of the spectral projector sizes m0 to within a few pairs, on
-    real-symmetric (pipeline path) and complex-Hermitian (host path)
-    pencils."""
+    real-symmetric (pipeline path) and complex-Hermitian (embedded-real
+    accelerator path) pencils."""
     from sparse_linear_tpu.eig.feast import count_eigenvalues
     from sparse_linear_tpu.utils.grids import poisson_2d
 
@@ -281,6 +282,7 @@ def test_quadrature_trapezoid():
         eigsh(4, (lo, hi), a, FeastParams(quadrature="bogus"))
 
 
+@pytest.mark.slow
 def test_spectrum_slicing():
     """eigsh_sliced solves a wide interval whose count exceeds one
     subspace: stochastic-count-driven bisection, per-slice solves, merged

@@ -14,6 +14,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.parametrize("script", ["poisson_direct.py", "distributed.py"])
+@pytest.mark.slow
 def test_example_runs(script):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"  # honored by plain jax; the axon

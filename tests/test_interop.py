@@ -185,6 +185,7 @@ def test_save_load_subspace(tmp_path):
     np.testing.assert_allclose(res2.values, res.values, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_well_checkpoint_roundtrip(tmp_path, rng):
     """WELL packings persist and reload bit-identically (the SpMV analyze
     artifact; reference had reuse but no persistence, SURVEY.md §5)."""

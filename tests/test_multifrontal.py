@@ -134,6 +134,7 @@ def test_laplacian_1d(rng):
     assert residual(a, mf.solve(f, jnp.asarray(b)), b) < 1e-12
 
 
+@pytest.mark.slow
 def test_unsymmetric_values_symmetric_pattern(rng):
     """LU (not Cholesky): unsymmetric values on a symmetric pattern."""
     g = 10
@@ -163,6 +164,7 @@ def test_trans_solve(rng):
     assert r < 1e-11
 
 
+@pytest.mark.slow
 def test_staged_reuse_shifts(rng):
     """One symbolic, many numerics (the FEAST pattern) incl. complex shifts."""
     g = 8
@@ -253,6 +255,7 @@ def _poisson_interior_shift(g):
     return 0.5 * (lam[k] + lam[k + 1]), gaps[k]
 
 
+@pytest.mark.slow
 def test_indefinite_shifted_interior(rng):
     """A - sigma*I with sigma strictly inside the spectrum: restricted
     pivoting + refinement must still reach 1e-10."""
@@ -269,6 +272,7 @@ def test_indefinite_shifted_interior(rng):
     assert np.isfinite(float(info.residual_norm))
 
 
+@pytest.mark.slow
 def test_unsymmetric_convection_diffusion(rng):
     """Convection-dominated (genuinely unsymmetric) operator to 1e-10."""
     g = 48

@@ -95,6 +95,7 @@ def test_add_matches_dense(shape, rng, dtype):
     np.testing.assert_allclose(dense(s), dense(a) + dense(b), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_additive_laws(rng, dtype):
     a = rand_matrix(rng, 6, 5, dtype)
     b = rand_matrix(rng, 6, 5, dtype)
@@ -314,6 +315,7 @@ def test_take_diag_rect(rng, dtype):
     )
 
 
+@pytest.mark.slow
 def test_spgemm_well_staged(rng):
     """The WELL-staged SpGEMM numeric phase (three 0/1-WELL SpMVs + one
     multiply) matches scipy exactly — pattern and values — and the plan is

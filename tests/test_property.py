@@ -68,6 +68,7 @@ def dense_of(shape, rows, cols, vals):
 
 @given(t=triples())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_from_triples_invariants_and_semantics(t):
     """Every from_triples output passes check_matrix in all three formats,
     and duplicate triples fold additively (reference fromTriples +
@@ -85,6 +86,7 @@ def test_from_triples_invariants_and_semantics(t):
 
 @given(t=triples())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_roundtrip_csr_csc_coo(t):
     """Format round-trips preserve the matrix exactly."""
     shape, rows, cols, vals = t
@@ -100,6 +102,7 @@ def test_roundtrip_csr_csc_coo(t):
 
 @given(t=triples())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_transpose_involution(t):
     """(A^T)^T == A and (A^H)^H == A (reference prop_trans laws)."""
     shape, rows, cols, vals = t
@@ -140,6 +143,7 @@ def test_identity_laws(t, n):
 @given(t=triples(), a=st.floats(-4, 4, allow_nan=False),
        b=st.floats(-4, 4, allow_nan=False))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_lin_matches_dense(t, a, b):
     """lin(a, M, b, N) == a*M + b*N on dense ground truth, and the result
     passes invariants (reference glin/lin laws)."""
@@ -161,6 +165,7 @@ def test_lin_matches_dense(t, a, b):
 
 @given(t=triples())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_add_commutes_scale_distributes(t):
     shape, rows, cols, vals = t
     m = sl.from_triples(shape, rows, cols, vals).tocsr()
@@ -206,6 +211,7 @@ def test_spmv_linearity(t):
 
 @given(t=triples(max_dim=8, max_nnz=24), u=triples(max_dim=6, max_nnz=18))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_kron_and_blocks(t, u):
     """kron matches numpy; hcat/vcat/from_blocks assemble correctly."""
     (sa, ra, ca, va) = t
@@ -327,6 +333,7 @@ def square_system(draw, max_dim=12):
 
 @given(s=square_system())
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_factor_queries_match_dense(s):
     """slogdet/det/rcond/get_factors agree with dense numpy ground truth on
     random nonsingular systems (UMFPACK get_determinant / Info[RCOND] /
@@ -357,6 +364,7 @@ def test_factor_queries_match_dense(s):
 @given(s=square_system(max_dim=10),
        scale=st.sampled_from(["none", "sum", "max"]))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_multifrontal_queries_random_pattern(s, scale):
     """Multifrontal factor queries on random patterns (AMD ordering, every
     equilibration mode): solve residual, slogdet vs numpy, scaled-operator

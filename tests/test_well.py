@@ -38,6 +38,7 @@ def test_well_packing_roundtrip(rng, nr, nc, density):
 
 
 @pytest.mark.parametrize("nr,nc,density", [(100, 80, 0.15), (1500, 2100, 0.01)])
+@pytest.mark.slow
 def test_well_spmv_matches_dense(rng, nr, nc, density):
     a = _random_csr(rng, nr, nc, density)
     w = csr_to_well(a)
@@ -127,6 +128,7 @@ def test_select_routes_unstructured_to_well(rng):
     assert isinstance(w, WELL)
 
 
+@pytest.mark.slow
 def test_well_complex_two_planes(rng):
     """Complex matrices pack once and run four real kernel passes:
     (Ar + iAi)(xr + ixi)."""
@@ -156,6 +158,7 @@ def test_well_complex_two_planes(rng):
 # ------------------------------------------------------------- multi-RHS SpMM
 
 
+@pytest.mark.slow
 def test_well_spmm_matches_dense(rng):
     """Multi-RHS kernel vs dense ground truth, f32 (the FEAST ijob=30/40
     hot multiply at block width m)."""
@@ -175,6 +178,7 @@ def test_well_spmm_matches_dense(rng):
     )
 
 
+@pytest.mark.slow
 def test_well_spmm_complex_planes(rng):
     """Complex A x complex X composes from real plane passes."""
     from sparse_linear_tpu.kernels.spmv_well import well_spmm
@@ -201,6 +205,7 @@ def test_well_spmm_complex_planes(rng):
     )
 
 
+@pytest.mark.slow
 def test_well_spmm_windowed_matches_resident(rng):
     """The windowed kernel (per-row-tile x windows from the packing's
     activity ranges) must agree with the resident kernel and dense ground
@@ -235,6 +240,7 @@ def test_well_spmm_windowed_matches_resident(rng):
         np.testing.assert_array_equal(np.asarray(y_win), np.asarray(y_res))
 
 
+@pytest.mark.slow
 def test_well_spmm_windowed_complex(rng):
     """Complex planes route through the windowed kernel too."""
     from sparse_linear_tpu.kernels.spmv_well import well_spmm_planes
