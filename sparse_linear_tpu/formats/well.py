@@ -52,7 +52,8 @@ _VREG_ROWS = 1024  # 8 sublanes x 128 lanes
 _LANES = 128
 
 
-@pytree_dataclass(meta_fields=("shape", "c_max", "fill"))
+@pytree_dataclass(meta_fields=("shape", "c_max", "fill", "win_uvr",
+                               "win_nunits", "win_vb"))
 class WELL:
     """Windowed gathered-ELL storage.
 
@@ -78,6 +79,16 @@ class WELL:
     # None on packings predating the field — consumers must fall back.
     base_lo: object = None  # (n_vregs,) int32, or None
     base_hi: object = None  # (n_vregs,) int32, or None
+    # precomputed window plan for the SpMM kernel at tile width ``win_vb``
+    # (kernels/spmv_well._window_plan, materialized at PACK time so the plan
+    # survives jit tracing — a traced WELL argument cannot derive it on the
+    # fly, and without it jitted consumers silently fell back to the
+    # resident kernel at tiny mt, streaming A m/mt times).
+    win_ub: object = None   # (n_vregs // win_vb,) int32 first-unit table
+    win_rel: object = None  # (n_vregs * c_max,) int32 window-relative bases
+    win_uvr: object = None    # static: unit height in x2 rows
+    win_nunits: object = None  # static: number of x units
+    win_vb: object = None      # static: tile width the plan was built for
 
     @property
     def is_complex(self) -> bool:
@@ -218,7 +229,9 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
              if vals_im is not None else None),
         )
         blo, bhi = _base_ranges(pb, pv, pim)
-        return WELL(
+        from sparse_linear_tpu.kernels.spmv_well import attach_window_plan
+
+        return attach_window_plan(WELL(
             # int32 explicitly: with x64 enabled jnp.asarray keeps the
             # packer's int64, which Mosaic cannot lower in the kernel
             bases=jnp.asarray(np.asarray(pb, dtype=np.int32)),
@@ -230,7 +243,7 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
             fill=float(nnz / max(packed["vals"].size, 1)),
             base_lo=jnp.asarray(blo),
             base_hi=jnp.asarray(bhi),
-        )
+        ))
 
     v = rows >> 10                 # output vreg
     slot = rows & (_VREG_ROWS - 1)  # 0..1023: i = slot>>7, j = slot&127
@@ -351,7 +364,9 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
     fill = nnz / max(out_vals.size, 1)
     bases, idx, out_vals, out_im = _pad_vregs(bases, idx, out_vals, out_im)
     blo, bhi = _base_ranges(bases, out_vals, out_im)
-    return WELL(
+    from sparse_linear_tpu.kernels.spmv_well import attach_window_plan
+
+    return attach_window_plan(WELL(
         bases=jnp.asarray(bases),
         idx=jnp.asarray(idx),
         vals=jnp.asarray(out_vals),
@@ -361,4 +376,4 @@ def csr_to_well(mat, c_max: int | None = None) -> WELL:
         fill=float(fill),
         base_lo=jnp.asarray(blo),
         base_hi=jnp.asarray(bhi),
-    )
+    ))

@@ -32,7 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["well_spmv", "well_spmm", "well_spmm_planes"]
+__all__ = ["well_spmv", "well_spmm", "well_spmm_planes",
+           "attach_window_plan"]
 
 _LANES = 128
 _VREG_ROWS = 1024
@@ -144,36 +145,44 @@ def _spmm_kernel(bases_ref, x_ref, idx_ref, vals_ref, o_ref, *, c_max: int,
 
 
 def _spmm_kernel_win(bases_ref, ub_ref, xa_ref, xb_ref, idx_ref, vals_ref,
-                     o_ref, *, c_max: int, vb: int, mt: int, uvr: int):
+                     o_ref, xw_ref, *, c_max: int, vb: int, mt: int,
+                     uvr: int):
     """Windowed multi-RHS WELL kernel.
 
     Each row tile sees only its own 2-unit x window (selected per tile by
     the scalar-prefetched unit table ``ub_ref`` through the BlockSpec index
     maps), so ALL mt RHS columns stay VMEM-resident regardless of nc and the
     A stream is read once per ceil(m/mt) — for typical m, exactly once.
-    Bases arrive window-relative in [0, 2*uvr-8]; a chunk reads its x vreg
-    from unit A or unit B by a branchless per-chunk select (bases are
+    The two units are merged into the ``xw_ref`` VMEM scratch (copied only
+    when the tile's unit pair changes), so the hot loop runs ONE dynamic
+    window load + two gathers + one fma per (chunk, RHS) — no per-chunk
+    unit select.  Bases arrive window-relative in [0, 2*uvr-8]; bases are
     8-aligned and uvr is a multiple of 8, so a window never straddles the
-    unit boundary)."""
-    del ub_ref  # consumed by the BlockSpec index maps
+    unit-pair boundary."""
     step_v = pl.program_id(1)
     out_dtype = o_ref.dtype
+
+    # refresh the merged window only when the unit pair changes (ub is the
+    # per-tile first unit; BlockSpec re-fetches xa/xb on the same condition)
+    prev = ub_ref[jnp.maximum(step_v - 1, 0)]
+
+    @pl.when((step_v == 0) | (ub_ref[step_v] != prev))
+    def _refresh():
+        xw_ref[:, :uvr, :] = xa_ref[...]
+        xw_ref[:, uvr:, :] = xb_ref[...]
+
     for b in range(vb):
         accs = [jnp.zeros((8, _LANES), out_dtype) for _ in range(mt)]
         for c in range(c_max):
             base = bases_ref[(step_v * vb + b) * c_max + c]
-            in_b = base >= uvr
-            ba = jnp.minimum(base, np.int32(uvr - 8))
-            bb = jnp.maximum(base - np.int32(uvr), _I0)
             packed = idx_ref[b, c]
             hi = packed >> 7
             lo = packed & 127
             val = vals_ref[b, c]
+            # ONE dynamic window load for all mt resident RHS planes
+            wall = xw_ref[:, pl.ds(base, 8), :]
             for t in range(mt):
-                wa = xa_ref[t, pl.ds(ba, 8), :]
-                wb = xb_ref[t, pl.ds(bb, 8), :]
-                w = jnp.where(in_b, wb, wa)
-                p = _gather_sublanes(w, hi)
+                p = _gather_sublanes(wall[t], hi)
                 g = _gather_lanes(p, lo)
                 accs[t] = accs[t] + val * g
         for t in range(mt):
@@ -191,15 +200,75 @@ _WIN_PLAN_CACHE: dict = {}
 _WIN_PLAN_CACHE_MAX = 16
 
 
+def _compute_window_plan(bases_np, lo_np, hi_np, vb: int):
+    """Host-side window-plan computation from concrete packing arrays.
+
+    The unit size ``uvr`` is the max tile span rounded to x-vreg alignment,
+    ``ub[tile]`` the tile's first unit, and ``rel`` the window-relative chunk
+    bases.  Returns ``(uvr, ub, rel, n_units)`` or None."""
+    nv, cm = bases_np.shape
+    n_t = nv // vb
+    lo_t = lo_np.astype(np.int64).reshape(n_t, vb).min(1)
+    hi_t = hi_np.astype(np.int64).reshape(n_t, vb).max(1)
+    empty = hi_t < lo_t  # all-padding tiles: pin their window to unit 0
+    lo_t = np.where(empty, 0, lo_t)
+    hi_t = np.where(empty, 0, hi_t)
+    span = int((hi_t + 8 - lo_t).max())
+    uvr = max(-(-span // 8) * 8, 8)
+    ub = lo_t // uvr
+    # coverage: lo_t >= ub*uvr and hi_t + 8 <= lo_t + span <= (ub+2)*uvr
+    if not ((hi_t + 8) <= (ub + 2) * uvr).all():  # pragma: no cover
+        return None
+    off = np.repeat(ub * uvr, vb)[:, None]
+    rel = np.clip(bases_np.astype(np.int64) - off, 0, 2 * uvr - 8
+                  ).astype(np.int32)
+    return (int(uvr), ub.astype(np.int32), rel.reshape(-1),
+            int(ub.max()) + 2)
+
+
+def attach_window_plan(a, vb: int = 8):
+    """Materialize the SpMM window plan ON the packing (host-side).
+
+    ``csr_to_well`` calls this at pack time so the plan survives jit
+    tracing: a WELL passed as a jit ARGUMENT has traced arrays, from which
+    no plan can be derived on the fly — without a stored plan, jitted
+    consumers silently fell back to the resident kernel at tiny mt
+    (A streamed m/mt times; measured 113 vs 400+ GB/s at m=16)."""
+    import dataclasses
+
+    lo = getattr(a, "base_lo", None)
+    hi = getattr(a, "base_hi", None)
+    if lo is None or hi is None or getattr(a, "win_vb", None) is not None:
+        return a
+    if any(isinstance(v, jax.core.Tracer) for v in (lo, hi, a.bases)):
+        return a
+    nv = a.bases.shape[0]
+    while nv % vb:
+        vb //= 2
+    vb = max(vb, 1)
+    plan = _compute_window_plan(
+        np.asarray(a.bases), np.asarray(lo), np.asarray(hi), vb
+    )
+    if plan is None:
+        return a
+    uvr, ub, rel, n_units = plan
+    return dataclasses.replace(
+        a, win_ub=jnp.asarray(ub), win_rel=jnp.asarray(rel),
+        win_uvr=uvr, win_nunits=n_units, win_vb=vb,
+    )
+
+
 def _window_plan(a, vb: int):
     """Per-row-tile x-window plan for the windowed SpMM kernel, or None.
 
-    Host-side, derived from the packing's per-vreg activity ranges
-    (formats/well.py ``base_lo``/``base_hi``): the unit size ``uvr`` is the
-    max tile span rounded to x-vreg alignment, ``ub[tile]`` the tile's first
-    unit, and ``rel`` the window-relative chunk bases.  Returns
-    ``(uvr, ub, rel, n_units)``; None when the packing predates the ranges
-    or the arrays are traced (then only the resident kernel applies)."""
+    Prefers the plan materialized on the packing (``attach_window_plan`` —
+    works even when the arrays are traced); otherwise derives it host-side
+    from the per-vreg activity ranges (formats/well.py
+    ``base_lo``/``base_hi``).  Returns ``(uvr, ub, rel, n_units)``; None
+    when no plan applies (then only the resident kernel runs)."""
+    if (getattr(a, "win_vb", None) == vb
+            and getattr(a, "win_ub", None) is not None):
+        return (int(a.win_uvr), a.win_ub, a.win_rel, int(a.win_nunits))
     lo = getattr(a, "base_lo", None)
     hi = getattr(a, "base_hi", None)
     if lo is None or hi is None:
@@ -212,21 +281,9 @@ def _window_plan(a, vb: int):
     plan = _WIN_PLAN_CACHE.get(key)
     if plan is not None:
         return plan
-    n_t = nv // vb
-    lo_t = np.asarray(lo).astype(np.int64).reshape(n_t, vb).min(1)
-    hi_t = np.asarray(hi).astype(np.int64).reshape(n_t, vb).max(1)
-    empty = hi_t < lo_t  # all-padding tiles: pin their window to unit 0
-    lo_t = np.where(empty, 0, lo_t)
-    hi_t = np.where(empty, 0, hi_t)
-    span = int((hi_t + 8 - lo_t).max())
-    uvr = max(-(-span // 8) * 8, 8)
-    ub = lo_t // uvr
-    # coverage: lo_t >= ub*uvr and hi_t + 8 <= lo_t + span <= (ub+2)*uvr
-    if not ((hi_t + 8) <= (ub + 2) * uvr).all():  # pragma: no cover
+    plan = _compute_window_plan(bases_np, np.asarray(lo), np.asarray(hi), vb)
+    if plan is None:
         return None
-    off = np.repeat(ub * uvr, vb)[:, None]
-    rel = np.clip(bases_np - off, 0, 2 * uvr - 8).astype(np.int32)
-    plan = (int(uvr), ub.astype(np.int32), rel.reshape(-1), int(ub.max()) + 2)
     if len(_WIN_PLAN_CACHE) >= _WIN_PLAN_CACHE_MAX:
         _WIN_PLAN_CACHE.pop(next(iter(_WIN_PLAN_CACHE)))
     _WIN_PLAN_CACHE[key] = plan
@@ -328,6 +385,7 @@ def _spmm_windowed(a, xp, rel, ub, interpret=False, vb=8, mt=8, uvr=8,
             ],
             out_specs=pl.BlockSpec((mt, vb * 8, _LANES),
                                    lambda t, v, sb, su: (t, v, _I0)),
+            scratch_shapes=[pltpu.VMEM((mt, 2 * uvr, _LANES), a.vals.dtype)],
         ),
         out_shape=jax.ShapeDtypeStruct((m_pad, nv * 8, _LANES), a.vals.dtype),
         compiler_params=pltpu.CompilerParams(
