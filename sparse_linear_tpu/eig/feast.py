@@ -970,8 +970,10 @@ def count_eigenvalues(interval, mat_a, mat_b=None, probes: int = 16,
 
     Real symmetric pencils route through the cached TPU pipeline
     (eig/real_pipeline.py), so a following ``geigsh`` on the same pencil
-    reuses the factorizations for free; complex Hermitian pencils take the
-    host complex path (CPU factorizations)."""
+    reuses the factorizations for free; complex Hermitian pencils ride the
+    same accelerator path through the real 2n ring embedding
+    (solve/complex_embed.py) — batched embedded factorizations on device,
+    exactly like ``geigsh``'s zfeast-class branch."""
     emin, emax = float(interval[0]), float(interval[1])
     if emax <= emin:
         raise ValueError("count_eigenvalues: empty interval")
@@ -1010,26 +1012,45 @@ def count_eigenvalues(interval, mat_a, mat_b=None, probes: int = 16,
         q, _ = progs["combine_gram"](s32)
         return float(jnp.sum(jnp.asarray(x) * q) / s)
 
-    # complex Hermitian pencil: host complex factorizations (TPU has no
-    # complex sparse support; counting is a setup-time estimate, so the CPU
-    # path is acceptable and exact in f64)
+    # complex Hermitian pencil: batched factorizations through the real 2n
+    # ring embedding (solve/complex_embed.py) — the same accelerator path
+    # as geigsh's zfeast-class branch.  E(S)^T = E(S^H), so the plain
+    # transpose solve on the embedded factors IS the conjugate solve; f32
+    # embedded factors on an accelerator are ample for a count estimate
+    # (relative error ~1e-6 vs a sqrt(count/probes) statistical error).
+    from sparse_linear_tpu.solve import complex_embed as ce
+    from sparse_linear_tpu.solve import ordering as ord_mod
+
     cdtype = complex_of(in_dtype)
     union_b, _, stack_c = _union_shift_stack(mat_a, mat_b, z_nodes,
                                              real_input=False)
-    data_stack = jnp.asarray(stack_c, dtype=cdtype)
-    symbolic = solve_api.analyze(
-        union_b, backend=params.backend,
-        **({"dims": params.dims} if params.dims is not None else {}),
+    pattern_r, eperm = ce.embed_pattern(union_b)
+    if params.backend == "multifrontal" and params.dims is not None:
+        base = ord_mod.nested_dissection_grid(params.dims)
+        symbolic = solve_api.analyze(
+            pattern_r, backend="multifrontal", perm=ce.embed_perm(base)
+        )
+    else:
+        symbolic = solve_api.analyze(pattern_r, backend=params.backend)
+    solve_dtype = (
+        np.float32 if jax.default_backend() != "cpu" else np.float64
     )
-    fac = solve_api.factor_batched(union_b, data_stack, symbolic)
-    xc = jnp.asarray(x.astype(cdtype))
-    bx = spmm(mat_b.tocsr(), xc)
-    stack = jnp.broadcast_to(bx[None], (ne, n, s))
-    y_n = solve_api.solve_batched(fac, stack)          # S_k^{-1} (B x)
-    y_h = solve_api.solve_batched(fac, stack, trans=True)  # S_k^{-H} (B x)
+    data_stack = jnp.asarray(
+        ce.embed_data(stack_c, np.asarray(eperm)).astype(solve_dtype)
+    )
+    fac = solve_api.factor_batched(pattern_r, data_stack, symbolic)
+    xc = x.astype(cdtype)
+    bx = spmm(mat_b.tocsr(), jnp.asarray(xc))          # complex (n, s)
+    bx_e = jnp.asarray(_np_embed(np.asarray(bx)).astype(solve_dtype))
+    stack = jnp.broadcast_to(bx_e[None], (ne, 2 * n, s))
+    y_n_e = solve_api.solve_batched(fac, stack)            # E(S^{-1}) B x
+    y_h_e = solve_api.solve_batched(fac, stack, trans=True)  # E(S^{-H}) B x
+    y_n = (y_n_e[:, 0::2, :] + 1j * y_n_e[:, 1::2, :]).astype(jnp.complex128)
+    y_h = (y_h_e[:, 0::2, :] + 1j * y_h_e[:, 1::2, :]).astype(jnp.complex128)
     sig = jnp.asarray(np.asarray(sigma))
-    t_n = jnp.einsum("ns,kns->k", jnp.conj(xc), y_n)
-    t_h = jnp.einsum("ns,kns->k", jnp.conj(xc), y_h)
+    xcj = jnp.asarray(np.conj(xc))
+    t_n = jnp.einsum("ns,kns->k", xcj, y_n)
+    t_h = jnp.einsum("ns,kns->k", xcj, y_h)
     est = jnp.sum(sig * t_n) + jnp.sum(jnp.conj(sig) * t_h)
     return float(jnp.real(est) / s)
 
