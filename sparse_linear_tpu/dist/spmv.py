@@ -36,6 +36,7 @@ __all__ = [
     "shard_dia_rows", "dia_spmv_sharded",
     "ShardedELL", "ShardedBSR", "shard_ell_rows", "shard_bsr_rows",
     "shard_rows", "spmv_sharded", "ShardedWELL", "shard_well_rows",
+    "window_exchange_elements",
 ]
 
 
@@ -127,42 +128,148 @@ def dia_spmv_sharded(dia: DIA, x, mesh: Mesh, axis: str = "rows",
 
 
 # ------------------------------------------------------------------ generic
-# Row-sharded unstructured SpMV (ELL / BSR shards of any CSR pattern).
+# Row-sharded unstructured SpMV (ELL / BSR / WELL shards of any CSR pattern).
 #
 # The DIA path above covers stencil operators; these cover arbitrary
 # patterns: the matrix rows are block-partitioned across the mesh axis, each
-# device holds its row-slab in a TPU fast format (ELL gather tiles or BSR
-# MXU blocks), and the x segments are exchanged with one tiled all_gather
-# over ICI.  This is the full P1 deliverable of SURVEY.md §2.4: the
-# reference's serial column loop (sparse-linear/src/Data/Matrix/Sparse.hs:
-# 447-451) re-designed as SPMD with explicit collectives.
+# device holds its row-slab in a TPU fast format (ELL gather tiles, BSR MXU
+# blocks, or a WELL packing), and the x segments are exchanged over ICI —
+# by a per-device COLUMN-WINDOW ring exchange when the slab patterns are
+# localized (each device receives only the x interval its rows touch,
+# O(window) traffic), falling back to one tiled all_gather (O(nc) traffic)
+# for patterns whose windows span the whole column space.  This is the full
+# P1 deliverable of SURVEY.md §2.4: the reference's serial column loop
+# (sparse-linear/src/Data/Matrix/Sparse.hs:447-451) re-designed as SPMD
+# with explicit collectives.
 
 
 from sparse_linear_tpu.formats.base import pytree_dataclass
 
 
-@pytree_dataclass(meta_fields=("shape", "axis"))
+def _col_window_plan(lo, hi, L, ndev, nc_pad, align: int = 1):
+    """Static ring-exchange plan for per-device column windows.
+
+    Device d's row slab touches columns [lo[d], hi[d]); x lives sharded in
+    ``ndev`` segments of length ``L``.  The plan ships, per device, the tail
+    of segment d+j_lo (length ``a``), full segments d+j_lo+1 .. d+j_hi-1,
+    and the head of segment d+j_hi (length ``b``) — a contiguous coverage
+    from which each device slices its width-``W`` window.  All slice bounds
+    are static (identical across devices), so the exchange is j_hi-j_lo
+    ``ppermute`` ring shifts over ICI.
+
+    ``align`` forces lo and W to multiples (BSR block width).  Returns a
+    dict with the static plan, the final per-device ``lo`` (int32), and
+    ``shipped`` — the exchanged elements per device (the all_gather
+    alternative ships (ndev-1)*L)."""
+    lo = np.asarray(lo, dtype=np.int64).copy()
+    hi = np.asarray(hi, dtype=np.int64)
+    # slabs with no entries (row padding beyond nr): pin their window to
+    # their own segment so they never widen the hop range
+    empty = hi <= lo
+    lo[empty] = (np.arange(ndev, dtype=np.int64) * L)[empty]
+    hi = np.where(empty, lo, hi)
+    W = int(max((hi - lo).max(), 1))
+    W = -(-W // align) * align
+    if W > nc_pad:
+        return None
+    lo = np.clip(np.minimum(lo, nc_pad - W), 0, None)
+    lo = (lo // align) * align
+    d = np.arange(ndev, dtype=np.int64)
+    j_lo = int((lo // L - d).min())
+    j_hi = int(((lo + W - 1) // L - d).max())
+    a = int(np.clip(((d + j_lo + 1) * L - lo).max(), 0, L))
+    b = int(np.clip((lo + W - (d + j_hi) * L).max(), 0, L))
+    shipped = sum(
+        (b if j == j_hi else L) - ((L - a) if j == j_lo else 0)
+        for j in range(j_lo, j_hi + 1)
+        if j != 0 and (b if j == j_hi else L) > ((L - a) if j == j_lo else 0)
+    )
+    return {
+        "plan": (j_lo, j_hi, a, b, L, W),
+        "lo": lo.astype(np.int32),
+        "shipped": int(shipped),
+    }
+
+
+def _slab_col_ranges(indptr, indices, vals, ndev, rows_per_dev):
+    """Per-device [lo, hi) of columns carrying a nonzero in its row slab."""
+    lo = np.zeros(ndev, dtype=np.int64)
+    hi = np.zeros(ndev, dtype=np.int64)
+    nr_pad = ndev * rows_per_dev
+    for dd in range(ndev):
+        r0, r1 = dd * rows_per_dev, (dd + 1) * rows_per_dev
+        s, e = indptr[min(r0, nr_pad)], indptr[min(r1, nr_pad)]
+        cix = indices[s:e]
+        if vals is not None:
+            cix = cix[vals[s:e] != 0]
+        if cix.size:
+            lo[dd], hi[dd] = int(cix.min()), int(cix.max()) + 1
+    return lo, hi
+
+
+def window_exchange_elements(xplan) -> int:
+    """Elements of x shipped over ICI per device per SpMV under ``xplan``
+    (the all_gather alternative ships (ndev-1) * L)."""
+    j_lo, j_hi, a, b, L, W = xplan
+    return sum(
+        (b if j == j_hi else L) - ((L - a) if j == j_lo else 0)
+        for j in range(j_lo, j_hi + 1)
+        if j != 0 and (b if j == j_hi else L) > ((L - a) if j == j_lo else 0)
+    )
+
+
+def _exchange_cols(x_local, lo_dev, axis, ndev, plan):
+    """Assemble this device's width-W x window from the sharded segments
+    with static ring ``ppermute`` shifts (see :func:`_col_window_plan`)."""
+    j_lo, j_hi, a, b, L, W = plan
+    pieces = []
+    first = None
+    for j in range(j_lo, j_hi + 1):
+        s = (L - a) if j == j_lo else 0
+        e = b if j == j_hi else L
+        if e <= s:
+            continue
+        if first is None:
+            first = (j, s)
+        sl = jax.lax.slice_in_dim(x_local, s, e)
+        if j != 0:
+            perm = [((i + j) % ndev, i) for i in range(ndev)]
+            sl = jax.lax.ppermute(sl, axis, perm)
+        pieces.append(sl)
+    cov = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces)
+    d = jax.lax.axis_index(axis)
+    cov_start = (d + first[0]) * L + first[1]
+    start = lo_dev - cov_start
+    return jax.lax.dynamic_slice_in_dim(cov, start, W)
+
+
+@pytree_dataclass(meta_fields=("shape", "axis", "xplan"))
 class ShardedELL:
     """Row-partitioned ELL: device d owns rows [d*nr_local, (d+1)*nr_local).
 
     ``cols``/``vals`` are (ndev, nr_local, K) with the leading axis sharded
     over ``mesh[axis]``; padded rows (beyond the true nrows) hold
-    (col=0, val=0)."""
+    (col=0, val=0).  With a column-window exchange plan (``xplan`` static
+    tuple + per-device ``col_lo``), ``cols`` are WINDOW-LOCAL (global col -
+    col_lo[d]) and SpMV exchanges only each device's x window over ICI."""
 
     cols: jax.Array
     vals: jax.Array
     shape: tuple
     axis: str
+    col_lo: object = None   # (ndev,) int32 window starts, or None
+    xplan: object = None    # static (j_lo, j_hi, a, b, L, W), or None
 
 
-@pytree_dataclass(meta_fields=("shape", "block_shape", "axis"))
+@pytree_dataclass(meta_fields=("shape", "block_shape", "axis", "xplan"))
 class ShardedBSR:
     """Row-partitioned BSR: stacked per-device block slabs, zero-padded to
     the max per-device block count so the pytree is rectangular.
 
     ``brow`` is the precomputed (sorted) local block-row id of every block —
     the host-side materialization of ``expand_indptr`` so the device kernel
-    is a pure segment-sum."""
+    is a pure segment-sum.  With ``xplan``/``col_lo`` (block-aligned),
+    ``indices`` are window-local block columns."""
 
     brow: jax.Array     # (ndev, maxnb) int32, nondecreasing per device
     indices: jax.Array  # (ndev, maxnb) int32 block-column ids
@@ -170,6 +277,8 @@ class ShardedBSR:
     shape: tuple
     block_shape: tuple
     axis: str
+    col_lo: object = None
+    xplan: object = None
 
 
 def _pad_rows_csr(mat, nr_pad):
@@ -185,8 +294,13 @@ def _pad_rows_csr(mat, nr_pad):
 
 
 def shard_ell_rows(mat, mesh: Mesh, axis: str = "rows",
-                   width: int | None = None) -> ShardedELL:
-    """Host-side: partition a CSR matrix's rows over ``mesh[axis]`` as ELL."""
+                   width: int | None = None,
+                   exchange: str = "auto") -> ShardedELL:
+    """Host-side: partition a CSR matrix's rows over ``mesh[axis]`` as ELL.
+
+    ``exchange``: "auto" localizes each slab to its column window and plans
+    the ring exchange when it ships fewer elements than the all_gather;
+    "allgather" / "window" pin a strategy."""
     import numpy as np
 
     from sparse_linear_tpu.ops.build import trim
@@ -205,24 +319,51 @@ def shard_ell_rows(mat, mesh: Mesh, axis: str = "rows",
             f"shard_ell_rows: max row nnz {int(row_nnz.max())} exceeds "
             f"width {k}"
         )
+    win = None
+    if exchange in ("auto", "window"):
+        nc_pad = -(-nc // ndev) * ndev
+        L = nc_pad // ndev
+        lo, hi = _slab_col_ranges(indptr, cix, vals, ndev, nr_local)
+        win = _col_window_plan(lo, hi, L, ndev, nc_pad)
+        if win is not None and exchange == "auto" and (
+                win["shipped"] >= (ndev - 1) * L):
+            win = None  # window ships no less than the all_gather
+        if win is None and exchange == "window":
+            raise ValueError("shard_ell_rows: no usable window plan")
     cols = np.zeros((nr_pad, k), dtype=np.int32)
     vs = np.zeros((nr_pad, k), dtype=vals.dtype)
     pos = np.arange(len(cix)) - np.repeat(indptr[:-1], row_nnz)
     rows = np.repeat(np.arange(nr_pad), row_nnz)
     cols[rows, pos] = cix
     vs[rows, pos] = vals
+    col_lo = None
+    xplan = None
+    if win is not None:
+        # window-local columns; padding slots (val 0) clamp to 0
+        lo_per_row = np.repeat(win["lo"], nr_local)[:, None]
+        cols = np.maximum(cols - lo_per_row, 0).astype(np.int32)
+        col_lo = jax.device_put(
+            jnp.asarray(win["lo"]), NamedSharding(mesh, P(axis))
+        )
+        xplan = win["plan"]
     sh = NamedSharding(mesh, P(axis, None, None))
     return ShardedELL(
         cols=jax.device_put(cols.reshape(ndev, nr_local, k), sh),
         vals=jax.device_put(vs.reshape(ndev, nr_local, k), sh),
         shape=(nr, nc),
         axis=axis,
+        col_lo=col_lo,
+        xplan=xplan,
     )
 
 
 def shard_bsr_rows(mat, mesh: Mesh, axis: str = "rows",
-                   block_shape=(8, 128)) -> ShardedBSR:
-    """Host-side: partition a CSR matrix's rows over ``mesh[axis]`` as BSR."""
+                   block_shape=(8, 128),
+                   exchange: str = "auto") -> ShardedBSR:
+    """Host-side: partition a CSR matrix's rows over ``mesh[axis]`` as BSR.
+
+    ``exchange`` as in :func:`shard_ell_rows` (window plans are block-column
+    aligned)."""
     import numpy as np
 
     from sparse_linear_tpu.ops.build import trim
@@ -236,6 +377,19 @@ def shard_bsr_rows(mat, mesh: Mesh, axis: str = "rows",
     nr_pad = nbr_local * ndev * bm
     nc_pad = -(-nc // bn) * bn
     indptr, cix, vals = _pad_rows_csr(csr, nr_pad)
+    win = None
+    if exchange in ("auto", "window"):
+        # exchange operates on the x-shard grid (ceil(nc/ndev) segments);
+        # block alignment keeps window-local block columns exact
+        ncs_pad = -(-nc // ndev) * ndev
+        L = ncs_pad // ndev
+        lo, hi = _slab_col_ranges(indptr, cix, vals, ndev, nbr_local * bm)
+        win = _col_window_plan(lo, hi, L, ndev, ncs_pad, align=bn)
+        if win is not None and exchange == "auto" and (
+                win["shipped"] >= (ndev - 1) * L):
+            win = None
+        if win is None and exchange == "window":
+            raise ValueError("shard_bsr_rows: no usable window plan")
     rows = np.repeat(np.arange(nr_pad), np.diff(indptr))
     br, bc = rows // bm, cix // bn
     dev = br // nbr_local
@@ -263,7 +417,16 @@ def shard_bsr_rows(mat, mesh: Mesh, axis: str = "rows",
         if m:
             brow[d, m:] = max(nbr_local - 1, int(u_brow_local[e - 1]))
         indices[d, :m] = u_bc[s:e]
+        if win is not None:
+            indices[d, :m] -= np.int32(win["lo"][d] // bn)
         blocks[d, :m] = blocks_flat[s:e]
+    col_lo = None
+    xplan = None
+    if win is not None:
+        col_lo = jax.device_put(
+            jnp.asarray(win["lo"]), NamedSharding(mesh, P(axis))
+        )
+        xplan = win["plan"]
     sh2 = NamedSharding(mesh, P(axis, None))
     sh3 = NamedSharding(mesh, P(axis, None, None, None))
     return ShardedBSR(
@@ -273,6 +436,8 @@ def shard_bsr_rows(mat, mesh: Mesh, axis: str = "rows",
         shape=(nr, nc),
         block_shape=(bm, bn),
         axis=axis,
+        col_lo=col_lo,
+        xplan=xplan,
     )
 
 
@@ -329,6 +494,19 @@ def spmv_sharded(a, x, mesh: Mesh):
         return _sharded_well_spmv(a, xp, mesh, nc, nr, interpret)
 
     if isinstance(a, ShardedELL):
+        if a.xplan is not None:
+
+            def kernel(cols, vals, lo, x_local):
+                xw = _exchange_cols(x_local[0], lo[0], axis, ndev, a.xplan)
+                y = (vals[0] * xw[cols[0]]).sum(axis=1)
+                return y[None]
+
+            f = jax.shard_map(
+                kernel, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                out_specs=P(axis),
+            )
+            return f(a.cols, a.vals, a.col_lo, xp).reshape(-1)[:nr]
 
         def kernel(cols, vals, x_local):
             x_full = _gathered_x(x_local[0], axis, nc)
@@ -347,10 +525,7 @@ def spmv_sharded(a, x, mesh: Mesh):
         bm, bn = a.block_shape
         nbr_local = -(-(-(-nr // bm)) // ndev)
 
-        def kernel(brow, indices, blocks, x_local):
-            x_full = _gathered_x(x_local[0], axis, nc)
-            nc_blk = -(-nc // bn) * bn
-            xb = jnp.pad(x_full[:nc], (0, nc_blk - nc)).reshape(-1, bn)
+        def bsr_contract(brow, indices, blocks, xb, x_local):
             xg = xb[indices[0]]
             contrib = jnp.einsum(
                 "kij,kj->ki", blocks[0], xg.astype(blocks.dtype),
@@ -361,6 +536,28 @@ def spmv_sharded(a, x, mesh: Mesh):
                 indices_are_sorted=True,
             )
             return y.reshape(1, -1)
+
+        if a.xplan is not None:
+
+            def kernel(brow, indices, blocks, lo, x_local):
+                xw = _exchange_cols(x_local[0], lo[0], axis, ndev, a.xplan)
+                # W is bn-aligned by plan construction
+                xb = xw.reshape(-1, bn)
+                return bsr_contract(brow, indices, blocks, xb, x_local)
+
+            f = jax.shard_map(
+                kernel, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+                out_specs=P(axis),
+            )
+            return f(a.brow, a.indices, a.blocks, a.col_lo, xp
+                     ).reshape(-1)[:nr]
+
+        def kernel(brow, indices, blocks, x_local):
+            x_full = _gathered_x(x_local[0], axis, nc)
+            nc_blk = -(-nc // bn) * bn
+            xb = jnp.pad(x_full[:nc], (0, nc_blk - nc)).reshape(-1, bn)
+            return bsr_contract(brow, indices, blocks, xb, x_local)
 
         f = jax.shard_map(
             kernel, mesh=mesh,
@@ -373,13 +570,14 @@ def spmv_sharded(a, x, mesh: Mesh):
     raise TypeError(f"spmv_sharded: unsupported type {type(a)}")
 
 
-@pytree_dataclass(meta_fields=("shape", "c_max", "axis"))
+@pytree_dataclass(meta_fields=("shape", "c_max", "axis", "xplan"))
 class ShardedWELL:
-    """Row-partitioned WELL: each device owns a WELL packing of its row slab
-    (full column space), padded to the max per-device chunk count so the
-    stacked pytree is rectangular.  The local kernel is the Pallas
-    in-register-gather SpMV (kernels/spmv_well.py); x is all-gathered over
-    ICI."""
+    """Row-partitioned WELL: each device owns a WELL packing of its row slab,
+    padded to the max per-device chunk count so the stacked pytree is
+    rectangular.  The local kernel is the Pallas in-register-gather SpMV
+    (kernels/spmv_well.py).  With an ``xplan``/``col_lo`` window plan the
+    slab packings are COLUMN-WINDOW-LOCAL and SpMV ships only each device's
+    x window over ICI (ring ppermutes); otherwise x is all-gathered."""
 
     bases: jax.Array  # (ndev, nv_local, c_max) int32
     idx: jax.Array    # (ndev, nv_local, c_max, 8, 128) int32
@@ -388,12 +586,15 @@ class ShardedWELL:
     shape: tuple
     c_max: int
     axis: str
+    col_lo: object = None
+    xplan: object = None
 
 
-def shard_well_rows(mat, mesh: Mesh, axis: str = "rows") -> ShardedWELL:
+def shard_well_rows(mat, mesh: Mesh, axis: str = "rows",
+                    exchange: str = "auto") -> ShardedWELL:
     """Host-side: partition a CSR matrix's rows over ``mesh[axis]``, packing
     each slab as WELL.  Slab heights are multiples of 1024 rows (the WELL
-    vreg granularity)."""
+    vreg granularity).  ``exchange`` as in :func:`shard_ell_rows`."""
     import numpy as np
 
     from sparse_linear_tpu.formats.matrix import CSR
@@ -408,6 +609,25 @@ def shard_well_rows(mat, mesh: Mesh, axis: str = "rows") -> ShardedWELL:
     indptr = np.asarray(csr.indptr)
     indices = np.asarray(csr.indices)
     data = np.asarray(csr.data)
+    win = None
+    if exchange in ("auto", "window"):
+        nc_pad = -(-nc // ndev) * ndev
+        L = nc_pad // ndev
+        nr_pad_w = ndev * rows_local
+        ip_w = indptr
+        if ip_w.size < nr_pad_w + 1:
+            ip_w = np.concatenate(
+                [ip_w, np.full(nr_pad_w + 1 - ip_w.size, ip_w[-1],
+                               ip_w.dtype)]
+            )
+        lo, hi = _slab_col_ranges(ip_w, indices, np.abs(data), ndev,
+                                  rows_local)
+        win = _col_window_plan(lo, hi, L, ndev, nc_pad)
+        if win is not None and exchange == "auto" and (
+                win["shipped"] >= (ndev - 1) * L):
+            win = None
+        if win is None and exchange == "window":
+            raise ValueError("shard_well_rows: no usable window plan")
     packs = []
     for d in range(ndev):
         r0 = min(d * rows_local, nr)
@@ -417,11 +637,16 @@ def shard_well_rows(mat, mesh: Mesh, axis: str = "rows") -> ShardedWELL:
             lp = np.concatenate(
                 [lp, np.full(rows_local + 1 - lp.size, lp[-1], lp.dtype)]
             )
+        six = indices[lp[0]:lp[-1]]
+        ncl = nc
+        if win is not None:
+            six = np.maximum(six - win["lo"][d], 0)
+            ncl = win["plan"][5]  # W
         local = CSR(
             indptr=(lp - lp[0]).astype(indptr.dtype),
-            indices=indices[lp[0]:lp[-1]],
+            indices=six,
             data=data[lp[0]:lp[-1]],
-            shape=(rows_local, nc),
+            shape=(rows_local, ncl),
         )
         packs.append(csr_to_well(local))
     cm = max(p.c_max for p in packs)
@@ -453,6 +678,9 @@ def shard_well_rows(mat, mesh: Mesh, axis: str = "rows") -> ShardedWELL:
         shape=(nr, nc),
         c_max=cm,
         axis=axis,
+        col_lo=(None if win is None else jax.device_put(
+            jnp.asarray(win["lo"]), NamedSharding(mesh, P(axis)))),
+        xplan=(None if win is None else win["plan"]),
     )
 
 
@@ -469,21 +697,31 @@ def _sharded_well_spmv(a: ShardedWELL, xp, mesh, nc, nr, interpret):
     rows_local = max(-(-(-(-nr // 1024)) // ndev), 1) * 1024
     has_ai = a.vals_im is not None
     has_xi = jnp.iscomplexobj(xp)
+    windowed = a.xplan is not None
+    # window-local packings address a width-W x window; full packings the
+    # whole column space
+    nc_local = a.xplan[5] if windowed else nc
     rdtype = jnp.real(jnp.zeros((), a.vals.dtype)).dtype
 
     def _local_spmv(bases, idx, vals, x_full):
         local = WELL(
             bases=bases, idx=idx, vals=vals, vals_im=None,
-            shape=(nv_pack * 1024, nc), c_max=a.c_max, fill=1.0,
+            shape=(nv_pack * 1024, nc_local), c_max=a.c_max, fill=1.0,
         )
-        return well_spmv(local, x_full[:nc], interpret=interpret)
+        return well_spmv(local, x_full[:nc_local], interpret=interpret)
 
     def kernel(bases, idx, vals, *rest):
         rest = list(rest)
         vals_im = rest.pop(0)[0] if has_ai else None
-        xr_full = jax.lax.all_gather(rest[0][0], axis, tiled=True)
-        xi_full = (jax.lax.all_gather(rest[1][0], axis, tiled=True)
-                   if has_xi else None)
+        lo = rest.pop(0)[0] if windowed else None
+
+        def get_x(x_local):
+            if windowed:
+                return _exchange_cols(x_local, lo, axis, ndev, a.xplan)
+            return jax.lax.all_gather(x_local, axis, tiled=True)
+
+        xr_full = get_x(rest[0][0])
+        xi_full = get_x(rest[1][0]) if has_xi else None
         y_re = _local_spmv(bases[0], idx[0], vals[0], xr_full)
         y_im = jnp.zeros_like(y_re)
         if has_xi:
@@ -498,6 +736,8 @@ def _sharded_well_spmv(a: ShardedWELL, xp, mesh, nc, nr, interpret):
     args = [a.bases, a.idx, a.vals]
     if has_ai:
         args.append(a.vals_im)
+    if windowed:
+        args.append(a.col_lo)
     args.append(jnp.real(xp).astype(rdtype))
     if has_xi:
         args.append(jnp.imag(xp).astype(rdtype))
