@@ -271,6 +271,7 @@ def bench_lu_1m(grid=1024):
         "unit": "s",
         "vs_baseline": round(LU_TARGET_S / factor_s, 4),
         "refined_residual": resid,
+        "accuracy_1e10": bool(resid < 1e-10),
     }
 
 
@@ -283,10 +284,13 @@ def bench_spmm_well(well_spmv_gbs, grid=2048, m=16, dtype=jnp.float32):
     Chained in the kernel-native PLANE-MAJOR layout (one RHS per row,
     ``well_spmm_planes``) — the documented layout for iterative consumers,
     exactly as the SpMV bench chains the kernel-native vreg layout; the
-    column-major ``well_spmm`` wrapper adds two (n, m) relayouts per call
-    that an iterative caller never pays."""
+    column-major ``well_spmm`` wrapper adds two (n, m) relayouts per call.
+    BOTH are measured: the headline is plane-major, and the wrapper's rate
+    ships alongside as ``column_major_GBs`` so the layout cost is on
+    record rather than hidden by the methodology."""
     from sparse_linear_tpu.formats.well import csr_to_well
-    from sparse_linear_tpu.kernels.spmv_well import well_spmm_planes
+    from sparse_linear_tpu.kernels.spmv_well import well_spmm, \
+        well_spmm_planes
     from sparse_linear_tpu.utils.grids import poisson_2d
 
     a = poisson_2d(grid, dtype=np.dtype(dtype))
@@ -294,33 +298,35 @@ def bench_spmm_well(well_spmv_gbs, grid=2048, m=16, dtype=jnp.float32):
     w = csr_to_well(a)
     n = grid * grid
     x = jnp.ones((m, n), dtype) / n
-
-    def make_chain(k):
-        @jax.jit
-        def chain(w, x):
-            return jax.lax.fori_loop(
-                0, k,
-                lambda i, x: well_spmm_planes(w, x, interpret=False), x
-            )
-        return chain
-
-    def timed(k):
-        chain = make_chain(k)
-        r = chain(w, x)
-        float(r[0, 0])
-        best = np.inf
-        for _ in range(3):
-            t0 = time.perf_counter()
-            r = chain(w, x)
-            float(r[0, 0])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    n1, n2 = 10, 60
-    per_iter = (timed(n2) - timed(n1)) / (n2 - n1)
     useful = nnz * 8 + 2 * n * m * 4  # A-stream once + X + Y streams
-    gbs = useful / per_iter / 1e9
+
+    def measure(fn, xin, n1=10, n2=60):
+        def make_chain(k):
+            @jax.jit
+            def chain(w, x):
+                return jax.lax.fori_loop(0, k, lambda i, x: fn(w, x), x)
+            return chain
+
+        def timed(k):
+            chain = make_chain(k)
+            r = chain(w, xin)
+            float(r.reshape(-1)[0])
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = chain(w, xin)
+                float(r.reshape(-1)[0])
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        per_iter = (timed(n2) - timed(n1)) / (n2 - n1)
+        return useful / per_iter / 1e9
+
+    gbs = measure(lambda w, x: well_spmm_planes(w, x, interpret=False), x)
+    gbs_cm = measure(lambda w, x: well_spmm(w, x, interpret=False), x.T,
+                     n1=5, n2=30)
     return {
+        "column_major_GBs": round(gbs_cm, 2),
         # "_planes": measured in the kernel-native plane-major layout (no
         # per-call relayouts) — renamed from r3's column-major-wrapped
         # spmm_well_..._m16_f32_GBs so round-over-round deltas stay
@@ -371,6 +377,7 @@ def bench_lu_pivoted(grid=1024):
         "unit": "s",
         "vs_baseline": round(LU_TARGET_S / factor_s, 4),
         "refined_residual": float(info.residual_norm),
+        "accuracy_1e10": bool(float(info.residual_norm) < 1e-10),
     }
 
 
@@ -424,6 +431,7 @@ def bench_lu_3d(grid=64):
         "vs_baseline": round(t_cpu / factor_s, 4),
         "cpu_superlu_s": round(t_cpu, 2),
         "refined_residual": float(info.residual_norm),
+        "accuracy_1e10": bool(float(info.residual_norm) < 1e-10),
     }
     try:
         stats = jax.devices()[0].memory_stats()
