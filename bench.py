@@ -599,7 +599,9 @@ def main():
                       "unit": "info", "vs_baseline": 1.0}), flush=True)
 
     def run(fn, *args):
+        t0 = time.perf_counter()
         c = fn(*args)
+        c["elapsed_s"] = round(time.perf_counter() - t0, 1)
         components.append(c)
         print(json.dumps(c), flush=True)
         return c
