@@ -178,12 +178,28 @@ class _RealPencilPipeline:
         self.a_mm, _ = _structured_op(mat_a)
         self.b_mm, self.b_is_ident = _structured_op(mat_b)
 
+        # f32 factor-artifact footprint of ONE shifted factorization —
+        # drives the batched-vs-streaming contour decision (HBM budget).
+        # Non-multifrontal symbolics (dense/CG backends) have no schedule;
+        # a dense 2n x 2n estimate stands in.
+        sched = getattr(self.symbolic, "schedule", None)
+        if sched is not None:
+            self.artifact_f32_bytes = 4 * sum(
+                b["sup_ids"].shape[0]
+                * (b["Ns"] ** 2 + 2 * b["Ns"] * b["Us"])
+                for b in sched["flat"]
+            )
+        else:
+            self.artifact_f32_bytes = 4 * (2 * self.n) ** 2
+
         # jitted per-(ne, m0) programs, built lazily
         self._programs: dict = {}
         # shifted factorizations keyed by the contour nodes: re-solving the
         # same interval (warm restart, repeated calls) skips the batched
         # refactorization — the values are already part of the pipeline key
         self._factors: dict = {}
+        # host-embedded per-node value sets for the streaming path
+        self._stream_data: dict = {}
 
     # -- device programs -------------------------------------------------
 
@@ -283,6 +299,114 @@ class _RealPencilPipeline:
         self._programs[key] = progs
         return progs
 
+    # -- streaming contour (large n) --------------------------------------
+
+    def stream_budget_exceeded(self, ne: int, m0: int,
+                               budget_bytes: int = 9 * 2 ** 30) -> bool:
+        """True when holding all ne factor sets plus the (ne, 2n, m0)
+        solve stacks would blow the HBM budget — the contour then runs in
+        STREAMING mode: one node's factorization resident at a time, the
+        quadrature accumulated immediately.  (At 1M dof the embedded
+        batched design needs ~25 GB of factors + ~11 GB of stacks against
+        a 16 GB chip.)  ``SLT_FEAST_STREAM_BUDGET`` overrides the budget
+        (bytes) — tests pin it low to exercise the streaming path."""
+        import os
+
+        budget_bytes = int(os.environ.get("SLT_FEAST_STREAM_BUDGET",
+                                          budget_bytes))
+        n2 = 2 * self.n
+        stacks = ne * n2 * m0 * (4 + 8)  # f32 rhs + f64 solution stacks
+        return ne * self.artifact_f32_bytes + stacks > budget_bytes
+
+    def stream_data_for(self, z_nodes):
+        """Host-embedded f32 value sets (ne, nnz_e), cached per contour."""
+        zkey = hash(np.asarray(z_nodes).tobytes())
+        d = self._stream_data.get(zkey)
+        if d is None:
+            from sparse_linear_tpu.solve import complex_embed as ce
+
+            data_c = (
+                np.asarray(z_nodes)[:, None] * self.union_b_data[None, :]
+                - self.union_a_data[None, :]
+            )
+            d = ce.embed_data(data_c, self.eperm_np).astype(np.float32)
+            self._stream_data = {zkey: d}  # one contour at a time
+        return d
+
+    def stream_programs(self, m0: int):
+        """Per-node jitted programs for the streaming contour."""
+        key = ("stream", m0)
+        if key in self._programs:
+            return self._programs[key]
+        a_mm, b_mm = self.a_mm, self.b_mm
+        n = self.n
+
+        @jax.jit
+        def pre1(y):
+            by = b_mm(y).astype(jnp.float64)
+            by_e = jnp.stack(
+                [by, jnp.zeros_like(by)], axis=1
+            ).reshape(2 * n, m0)
+            return by, by_e.astype(jnp.float32)
+
+        @jax.jit
+        def resid1(s64, by64, zr, zi):
+            """f64 residual of ONE node's embedded solve, in the original
+            complex space through the structured SpMMs."""
+            sr = s64[0::2, :]
+            si = s64[1::2, :]
+            asr, asi = a_mm(sr), a_mm(si)
+            bsr, bsi = b_mm(sr), b_mm(si)
+            er = zr * bsr - zi * bsi - asr
+            ei = zr * bsi + zi * bsr - asi
+            rr = by64 - er
+            ri = -ei
+            return jnp.stack([rr, ri], axis=1).reshape(2 * n, m0)
+
+        @jax.jit
+        def qacc(q, s64, sigr, sigi):
+            """q += 2 Re(sigma_k S_k) — the per-node quadrature update."""
+            s64 = s64.astype(jnp.float64)
+            sr = s64[0::2, :]
+            si = s64[1::2, :]
+            return q + 2.0 * (sigr * sr - sigi * si)
+
+        @jax.jit
+        def gram(q):
+            return dot64(q.T, q)
+
+        progs = {"pre1": pre1, "resid1": resid1, "qacc": qacc, "gram": gram}
+        self._programs[key] = progs
+        return progs
+
+    def stream_filter(self, y, z_nodes, sigma, m0, refine_n):
+        """One contour-filter application in streaming mode: returns
+        (q, g) with only one node's factors resident at any time."""
+        from sparse_linear_tpu.formats.matrix import CSR as _CSR
+        from sparse_linear_tpu.solve import api as solve_api
+
+        sp = self.stream_programs(m0)
+        data_e = self.stream_data_for(z_nodes)
+        pm = self.pattern_r
+        by64, rhs32 = sp["pre1"](y)
+        q = jnp.zeros((self.n, m0), jnp.float64)
+        zr = np.real(np.asarray(z_nodes))
+        zi = np.imag(np.asarray(z_nodes))
+        sr = np.real(np.asarray(sigma))
+        si = np.imag(np.asarray(sigma))
+        for k in range(len(z_nodes)):
+            mat_k = _CSR(indptr=pm.indptr, indices=pm.indices,
+                         data=jnp.asarray(data_e[k]), shape=pm.shape)
+            fac = solve_api.factor(mat_k, self.symbolic)
+            s64 = solve_api.solve(fac, rhs32).astype(jnp.float64)
+            for _ in range(refine_n):
+                r = sp["resid1"](s64, by64, zr[k], zi[k])
+                dx = solve_api.solve(fac, r.astype(jnp.float32))
+                s64 = s64 + dx.astype(jnp.float64)
+            q = sp["qacc"](q, s64, sr[k], si[k])
+            del fac, s64  # free this node's HBM before the next factor
+        return q, sp["gram"](q)
+
     def factors_for(self, z_nodes):
         """Batched shifted factorizations (one program; ijob=10 for every
         node at once).  Cached per contour: the A/B values are part of the
@@ -352,7 +476,17 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
     z_nodes, sigma = _contour(emin, emax, params.contour_points,
                               kind=getattr(params, 'quadrature', 'gauss'))
     ne = len(z_nodes)
-    factors = pipe.factors_for(z_nodes)
+    # batched contour (all ne factor sets resident — fastest) vs streaming
+    # (one node at a time — the only way 1M-dof pencils fit 16 GB HBM)
+    streaming = pipe.stream_budget_exceeded(ne, m0)
+    if streaming:
+        factors = None
+        if params.debug:
+            print("feast(tpu) streaming contour: "
+                  f"{ne} x {pipe.artifact_f32_bytes / 2**30:.1f} GB factor "
+                  "sets exceed the HBM budget")
+    else:
+        factors = pipe.factors_for(z_nodes)
     _tick("factors")
     progs = pipe.programs(ne, m0, z_nodes, sigma)
     _tick("programs")
@@ -389,16 +523,19 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
         loops_done = loop + 1
         _t0 = _time.perf_counter()
         # ---- contour filter (ijob=10/11): batched solves + refinement
-        by64, rhs32 = progs["pre"](y)
-        s64 = solve_api.solve_batched(factors, rhs32).astype(jnp.float64)
         n_ref = 0 if loop == 0 else refine_n
-        r = None
-        for _ in range(n_ref):
-            if r is None:
-                r = progs["resid"](s64, by64)
-            dx = solve_api.solve_batched(factors, r.astype(jnp.float32))
-            s64, r = progs["resid_acc"](s64, dx, by64)
-        q, g = progs["combine_gram"](s64)
+        if streaming:
+            q, g = pipe.stream_filter(y, z_nodes, sigma, m0, n_ref)
+        else:
+            by64, rhs32 = progs["pre"](y)
+            s64 = solve_api.solve_batched(factors, rhs32).astype(jnp.float64)
+            r = None
+            for _ in range(n_ref):
+                if r is None:
+                    r = progs["resid"](s64, by64)
+                dx = solve_api.solve_batched(factors, r.astype(jnp.float32))
+                s64, r = progs["resid_acc"](s64, dx, by64)
+            q, g = progs["combine_gram"](s64)
         _tick(f"loop{loop} filter+gram")
 
         # ---- whitening: m0 x m0 two-pass spectral inverse square root on

@@ -225,6 +225,34 @@ def test_real_tpu_fast_path_on_cpu():
     clear_pipeline_cache()
 
 
+def test_real_pipeline_streaming_contour(monkeypatch):
+    """Large-n HBM guard: when all ne contour factor sets cannot fit the
+    device budget, the pipeline streams the contour (one node's
+    factorization resident at a time, quadrature accumulated immediately)
+    and must converge identically.  Budget pinned to 1 byte to force the
+    streaming path at test scale."""
+    from sparse_linear_tpu.eig.real_pipeline import (
+        clear_pipeline_cache, geigsh_real_tpu,
+    )
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    monkeypatch.setenv("SLT_FEAST_STREAM_BUDGET", "1")
+    g = 16
+    a = poisson_2d(g, dtype=np.float64)
+    i = np.arange(1, g + 1)
+    lam1 = 4 * np.sin(i * np.pi / (2 * (g + 1))) ** 2
+    lam2 = np.sort((lam1[:, None] + lam1[None, :]).ravel())
+    k = 8
+    emax = float((lam2[k - 1] + lam2[k]) / 2)
+    b = sl.eye(g * g, dtype=jnp.float64)
+    p = FeastParams(tol=1e-10, dims=(g, g), backend="multifrontal")
+    res = geigsh_real_tpu(16, (0.0, emax), a, b, p)
+    assert res.n_found == k
+    assert res.info == INFO_OK
+    np.testing.assert_allclose(np.sort(res.values), lam2[:k], rtol=1e-10)
+    clear_pipeline_cache()
+
+
 @pytest.mark.slow
 def test_count_eigenvalues():
     """FEAST 4.x stochastic estimate (fpm(14)=2 analog): the Hutchinson
