@@ -341,3 +341,34 @@ def test_spectrum_slicing():
     empty = eigsh_sliced((100.0, 200.0), a, m0_max=20,
                          params=FeastParams(max_loops=4, dims=(g, g)))
     assert empty.n_found == 0 and empty.info == INFO_NO_EIGENVALUES
+
+
+def test_chebyshev_filtered_lowest():
+    """Factorization-free Chebyshev-filtered subspace iteration
+    (eig/chebyshev.py): the k lowest 2D Poisson eigenpairs to 1e-10
+    without a single sparse factorization — the TPU-first large-scale
+    complement to the FEAST rational filter."""
+    from sparse_linear_tpu.eig.chebyshev import eigsh_filtered
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    g = 24
+    a = poisson_2d(g, dtype=np.float64)
+    i = np.arange(1, g + 1)
+    lam1 = 4 * np.sin(i * np.pi / (2 * (g + 1))) ** 2
+    lam2 = np.sort((lam1[:, None] + lam1[None, :]).ravel())
+    k = 10
+    emax = float((lam2[k - 1] + lam2[k]) / 2)
+    res = eigsh_filtered(24, (0.0, emax), a, tol=1e-10)
+    assert res.info == INFO_OK
+    assert res.n_found == k
+    np.testing.assert_allclose(np.sort(res.values), lam2[:k], rtol=1e-10)
+    # residual check against the operator itself
+    x = np.asarray(res.vectors)
+    ax = np.asarray(a.todense()) @ x
+    r = np.linalg.norm(ax - x * res.values[None, :], axis=0)
+    assert r.max() < 1e-8
+
+    with pytest.raises(ValueError, match="empty"):
+        eigsh_filtered(8, (1.0, 0.5), a)
+    with pytest.raises(ValueError, match="upper bound"):
+        eigsh_filtered(8, (0.0, 9.0), a)
