@@ -129,3 +129,32 @@ def test_eigsh_on_chip():
     )
     res = eigsh(2, (0.5, 3.5), a, FeastParams(tol=1e-8, contour_points=4))
     np.testing.assert_allclose(np.sort(res.values), [1.0, 3.0], atol=1e-6)
+
+
+def test_well_spmm_windowed_jit_on_chip(rng):
+    """The windowed SpMM kernel engaged THROUGH jit via the pack-time
+    window plan (round-4 regression guard: without the stored plan a
+    traced WELL silently fell back to the resident kernel at tiny mt)."""
+    from sparse_linear_tpu.formats.well import csr_to_well
+    from sparse_linear_tpu.kernels.spmv_well import well_spmm_planes
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    a = poisson_2d(128, dtype=np.float32)
+    w = csr_to_well(a)
+    assert w.win_vb is not None  # pack-time plan present
+    xp = rng.standard_normal((8, 128 * 128)).astype(np.float32)
+
+    @jax.jit
+    def f(w, xp):
+        return well_spmm_planes(w, xp, interpret=False)
+
+    y = f(w, xp)
+    import scipy.sparse as sp
+
+    As = sp.csr_matrix(
+        (np.asarray(a.data), np.asarray(a.indices), np.asarray(a.indptr)),
+        shape=a.shape,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), (As @ xp.T).T, rtol=2e-5, atol=2e-4
+    )
