@@ -63,6 +63,18 @@ def main():
     print(f"sliced solve of {wide[1]:.3f}-wide interval: "
           f"{sliced.n_found} pairs, worst residual {sliced.epsout:.1e}")
 
+    # k-lowest problems at scale: the factorization-free Chebyshev filter
+    # (eig/chebyshev.py) — SpMM-only, no contour factorizations
+    from sparse_linear_tpu.eig.chebyshev import eigsh_filtered
+
+    k = 10
+    emax = float((lam2[k - 1] + lam2[k]) / 2)
+    filt = eigsh_filtered(2 * k, (0.0, emax), a, tol=1e-10)
+    assert filt.n_found == k
+    np.testing.assert_allclose(np.sort(filt.values), lam2[:k], rtol=1e-10)
+    print(f"chebyshev-filtered: {filt.n_found} lowest pairs in "
+          f"{filt.iterations} passes, worst residual {filt.epsout:.1e}")
+
 
 if __name__ == "__main__":
     main()
