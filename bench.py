@@ -68,35 +68,28 @@ def bench_spmv_dia(grid=2048, dtype=jnp.float32):
     slope — this cancels the fixed dispatch + host-readback latency of the
     runtime exactly (naive per-call timing is dominated by a ~35 ms tunnel
     round trip; block_until_ready does not serialize on this runtime).
-    The operator is passed as a device ARGUMENT: closure-capturing it bakes
+    The operator is passed as a device ARGUMENT (closure-capturing bakes
     84 MB of diagonal data into the program as literals, which this runtime
-    re-ships on every execution (~100 s/call measured — it cost round 3 its
-    bench budget).  The fused-alpha rescale and the 2-D tiled carry keep
-    the loop free of relayouts and extra traffic."""
-    from sparse_linear_tpu.kernels.spmv_pallas import dia_spmv_pallas
+    re-ships on every execution — ~100 s/call measured; it cost round 3 its
+    bench budget) and the chain runs as ONE kernel launch with the
+    diagonals VMEM-RESIDENT across iterations
+    (kernels/spmv_pallas.dia_spmv_chain) — a fori_loop of separate SpMV
+    calls re-streams the operator from HBM every iteration and measures
+    ~510 GB/s instead."""
+    from sparse_linear_tpu.kernels.spmv_pallas import dia_spmv_chain
     from sparse_linear_tpu.utils.grids import poisson_2d
 
     a = jax.device_put(poisson_2d(grid, dtype=np.dtype(dtype), fmt="dia"))
     n = grid * grid
     x2 = jnp.ones((n // 128, 128), dtype) / n
 
-    # DYNAMIC trip count: one compiled program serves every chain length
-    # (a static k tempts XLA into fully unrolling the loop — two multi-
-    # hundred-kernel programs whose cold compile through the remote tunnel
-    # costs minutes and once blew the whole bench deadline)
-    @jax.jit
-    def chain(a, x, k):
-        return jax.lax.fori_loop(
-            0, k, lambda i, x: dia_spmv_pallas(a, x, alpha=0.124), x
-        )
-
     def timed(k):
-        r = chain(a, x2, k)
+        r = dia_spmv_chain(a, x2, k=k, alpha=0.124)
         float(r[0, 0])  # warm + sync (scalar readback serializes)
         best = np.inf
         for _ in range(4):
             t0 = time.perf_counter()
-            r = chain(a, x2, k)
+            r = dia_spmv_chain(a, x2, k=k, alpha=0.124)
             float(r[0, 0])
             best = min(best, time.perf_counter() - t0)
         return best
@@ -107,7 +100,11 @@ def bench_spmv_dia(grid=2048, dtype=jnp.float32):
     bytes_moved = (a.data.size + 2 * n) * itemsize  # diagonals + x + y
     gbs = bytes_moved / per_iter / 1e9
     return {
-        "metric": f"spmv_dia_pallas_2d_poisson_{n}_f32_GBs",
+        # "_chain": renamed from r3's spmv_dia_pallas_... — the chain now
+        # runs as ONE explicit VMEM-resident kernel (dia_spmv_chain) instead
+        # of relying on XLA constant promotion, so the delta is a
+        # methodology+kernel change, not noise
+        "metric": f"spmv_dia_chain_2d_poisson_{n}_f32_GBs",
         "value": round(gbs, 2),
         "unit": "GB/s",
         "vs_baseline": round(gbs / SPMV_TARGET_GBS, 4),
@@ -138,14 +135,17 @@ def bench_spmv_well(grid=2048, dtype=jnp.float32):
         r = chain(w, x, k)
         float(r[0])
         best = np.inf
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             r = chain(w, x, k)
             float(r[0])
             best = min(best, time.perf_counter() - t0)
         return best
 
-    n1, n2 = 20, 120
+    # differential over 300 iterations: shorter spans measured 737-899 GB/s
+    # run-to-run (dispatch jitter dominates a ~27 ms difference), and this
+    # number is also the SpMM gate's denominator
+    n1, n2 = 50, 350
     per_iter = (timed(n2) - timed(n1)) / (n2 - n1)
     useful = nnz * 8 + 2 * n * 4  # val+index per entry + x + y streams
     gbs = useful / per_iter / 1e9
@@ -381,9 +381,6 @@ def bench_lu_3d(grid=64):
     fatter (separators are planes, O(g^2) dof); the in-process CPU
     baseline is scipy SuperLU on the same operator.  HBM headroom is
     reported when the runtime exposes memory_stats."""
-    import scipy.sparse as sp
-    import scipy.sparse.linalg as spl
-
     jax.config.update("jax_enable_x64", True)
     from sparse_linear_tpu.solve import api as solve_api
     from sparse_linear_tpu.solve import multifrontal as mf
@@ -392,14 +389,38 @@ def bench_lu_3d(grid=64):
     n = grid ** 3
     a32 = poisson_3d(grid, dtype=np.float32)
     a64 = poisson_3d(grid, dtype=np.float64)
-    As = sp.csr_matrix(
-        (np.asarray(a64.data), np.asarray(a64.indices),
-         np.asarray(a64.indptr)),
-        shape=a64.shape,
-    ).tocsc()
+
+    # CPU baseline in a TIME-BOXED SUBPROCESS: SuperLU on 3D fill takes
+    # 16 GB RSS and tens of minutes at 64^3 (measured >40 min — it silently
+    # ate the whole round-3 and round-4 bench budgets).  On timeout the
+    # elapsed bound stands in as a LOWER bound of the CPU time, making
+    # vs_baseline a lower bound of the true ratio — honest and bounded.
+    import subprocess
+
+    cpu_box_s = float(os.environ.get("BENCH_LU3D_CPU_BOX_S", "240"))
+    code = (
+        "import time, numpy as np, scipy.sparse as sp,"
+        " scipy.sparse.linalg as spl\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "from sparse_linear_tpu.utils.grids import poisson_3d\n"
+        "a = poisson_3d(%d, dtype=np.float64)\n"
+        "As = sp.csr_matrix((np.asarray(a.data), np.asarray(a.indices),"
+        " np.asarray(a.indptr)), shape=a.shape).tocsc()\n"
+        "t0 = time.perf_counter(); spl.splu(As);"
+        " print(time.perf_counter() - t0)\n"
+    ) % (os.path.dirname(os.path.abspath(__file__)), grid)
     t0 = time.perf_counter()
-    splu = spl.splu(As)
-    t_cpu = time.perf_counter() - t0
+    cpu_bounded = False
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            timeout=cpu_box_s, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        t_cpu = float(r.stdout.strip().splitlines()[-1])
+    except (subprocess.TimeoutExpired, ValueError, IndexError):
+        t_cpu = time.perf_counter() - t0  # lower bound
+        cpu_bounded = True
 
     sym = mf.analyze(a32, dims=(grid, grid, grid))
 
@@ -424,6 +445,7 @@ def bench_lu_3d(grid=64):
         "unit": "s",
         "vs_baseline": round(t_cpu / factor_s, 4),
         "cpu_superlu_s": round(t_cpu, 2),
+        "cpu_superlu_timed_out": cpu_bounded,  # then vs_baseline is a LOWER bound
         "refined_residual": float(info.residual_norm),
         "accuracy_1e10": bool(float(info.residual_norm) < 1e-10),
     }

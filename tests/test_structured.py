@@ -217,3 +217,49 @@ def test_pallas_fused_alpha(rng):
     np.testing.assert_allclose(
         np.asarray(y), 0.5 * np.asarray(dia_spmv(a, x)), atol=1e-4
     )
+
+
+def test_dia_spmv_chain_matches_repeated(rng):
+    """(alpha A)^k x in ONE kernel launch (VMEM-resident chain) must match
+    k separate SpMV applications."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sparse_linear_tpu.kernels import spmv_pallas
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    g = 32  # 1024 dof: square, 1024-aligned
+    a = poisson_2d(g, dtype=np.float32, fmt="dia")
+    x = rng.standard_normal(g * g).astype(np.float32)
+    alpha = 0.37
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(spmv_pallas.dia_spmv_chain(a, jnp.asarray(x), k=3,
+                                                  alpha=alpha))
+        ref = jnp.asarray(x)
+        for _ in range(3):
+            ref = spmv_pallas.dia_spmv_pallas(a, ref, alpha=alpha)
+    ref = np.asarray(ref).reshape(-1)
+    assert np.allclose(y, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_dia_spmv_chain_k1_and_errors(rng):
+    import numpy as np
+
+    import jax.numpy as jnp
+    import pytest
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sparse_linear_tpu.kernels import spmv_pallas
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    g = 32
+    a = poisson_2d(g, dtype=np.float32, fmt="dia")
+    x = rng.standard_normal(g * g).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y1 = np.asarray(spmv_pallas.dia_spmv_chain(a, jnp.asarray(x), k=1))
+        ref = np.asarray(spmv_pallas.dia_spmv_pallas(a, jnp.asarray(x)))
+    assert np.allclose(y1, ref.reshape(-1), rtol=1e-6)
+    with pytest.raises(ValueError):
+        spmv_pallas.dia_spmv_chain(a, jnp.asarray(x), k=0)
