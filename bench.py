@@ -743,6 +743,25 @@ def main():
 
     failures = []
 
+    def _release_device_memory():
+        """Drop library caches pinning HBM between components: a failed
+        feast_1m attempt once left its pipeline (batched factor sets,
+        jitted programs) resident and every later component died
+        RESOURCE_EXHAUSTED."""
+        import gc
+
+        try:
+            from sparse_linear_tpu.eig import real_pipeline
+            real_pipeline.clear_pipeline_cache()
+        except Exception:
+            pass
+        try:
+            from sparse_linear_tpu.solve import multifrontal as _mf
+            _mf._PROGRAM_CACHE.clear()
+        except Exception:
+            pass
+        gc.collect()
+
     def run(fn, *args):
         """One component, isolated: an exception (the remote-compile tunnel
         has been seen dropping mid-compile) must not kill the rest of the
@@ -765,6 +784,7 @@ def main():
                     "attempt": attempt,
                     "detail": f"{type(e).__name__}: {str(e)[:180]}",
                 }), flush=True)
+                _release_device_memory()
         failures.append(fn.__name__)
         return None
 
@@ -777,7 +797,9 @@ def main():
         run(bench_spmm_well, well_r["value"])
     run(bench_lu_3d)
     run(bench_feast_50)
+    _release_device_memory()  # feast_1m needs every byte of HBM
     run(bench_feast_1m)
+    _release_device_memory()
     run(bench_spmv_dia_f64)
     run(bench_lu_pivoted)
     # on-record extra (NOT in the composite — see its docstring): printed
