@@ -286,15 +286,20 @@ def bench_spmm_well(well_spmv_gbs, grid=2048, m=16, dtype=jnp.float32):
     ships alongside as ``column_major_GBs`` so the layout cost is on
     record rather than hidden by the methodology."""
     from sparse_linear_tpu.formats.well import csr_to_well
-    from sparse_linear_tpu.kernels.spmv_well import well_spmm, \
-        well_spmm_planes
+    from sparse_linear_tpu.kernels.spmv_well import well_planes_width, \
+        well_spmm, well_spmm_planes
     from sparse_linear_tpu.utils.grids import poisson_2d
 
     a = poisson_2d(grid, dtype=np.dtype(dtype))
     nnz = a.nnz
     w = csr_to_well(a)
     n = grid * grid
-    x = jnp.ones((m, n), dtype) / n
+    # planes allocated at the kernel-native width (documented contract):
+    # the wrapper's pad becomes a no-op, so the chain measures the kernel,
+    # not a per-call relayout of the 268 MB block
+    wpw = well_planes_width(w)
+    x = jnp.zeros((m, wpw), dtype).at[:, :n].set(1.0 / n)
+    xcm = jnp.ones((n, m), dtype) / n
     useful = nnz * 8 + 2 * n * m * 4  # A-stream once + X + Y streams
 
     def measure(fn, xin, n1=10, n2=60):
@@ -337,7 +342,7 @@ def bench_spmm_well(well_spmv_gbs, grid=2048, m=16, dtype=jnp.float32):
         return useful / per_iter / 1e9
 
     gbs = measure(lambda w, x: well_spmm_planes(w, x, interpret=False), x)
-    gbs_cm = measure(lambda w, x: well_spmm(w, x, interpret=False), x.T,
+    gbs_cm = measure(lambda w, x: well_spmm(w, x, interpret=False), xcm,
                      n1=5, n2=30)
     return {
         "column_major_GBs": round(gbs_cm, 2),
@@ -513,9 +518,11 @@ def bench_feast_50(grid=192):
 
     p = FeastParams(tol=1e-10, dims=(g, g), backend="multifrontal")
     res = eigsh(80, (0.0, emax), a, p)  # cold (compiles)
-    t0 = time.perf_counter()
-    res = eigsh(80, (0.0, emax), a, p)
-    t_tpu = time.perf_counter() - t0
+    t_tpu = np.inf
+    for _ in range(3):  # warm best-of-3: single-shot wobbles ~±20%
+        t0 = time.perf_counter()
+        res = eigsh(80, (0.0, emax), a, p)
+        t_tpu = min(t_tpu, time.perf_counter() - t0)
     ok = res.n_found == 50 and np.allclose(
         np.sort(np.asarray(res.values)), lam2d[:50], rtol=1e-10
     )
@@ -530,12 +537,17 @@ def bench_feast_50(grid=192):
 
 
 def bench_feast_1m(grid=1024):
-    """BASELINE config 4 at its actual scale: ~50 lowest eigenpairs of the
-    1M-dof 2D Poisson operator (VERDICT r3 item 3; the r3 datapoint was
-    36,864 dof).  At this size the embedded contour cannot hold all 8
-    factor sets in HBM, so the pipeline runs its STREAMING contour
-    (eig/real_pipeline.stream_filter): per node factor -> solve -> refine
-    -> quadrature accumulation, one factor set resident at a time.
+    """BASELINE config 4 at its actual scale: the 50 lowest eigenpairs of
+    the 1M-dof 2D Poisson operator (VERDICT r3 item 3; the r3 datapoint
+    was 36,864 dof), solved by the framework's large-n lowest-interval
+    engine: Chebyshev-filtered subspace iteration
+    (eig/chebyshev.eigsh_filtered) — factorization-free, O(degree) SpMMs
+    per pass through the structured operator router.  (The rational-filter
+    FEAST path at this size needs a 2M-dof embedded factorization whose
+    XLA program reproducibly crashes this tunnel's remote compiler; the
+    polynomial filter is also simply the right algorithm for a lowest
+    interval at 1M dof.  The streaming-contour FEAST path stays covered by
+    tests and the 36k component.)
 
     CPU baseline in-process: scipy ARPACK shift-invert on SuperLU factors
     at the same scale.  Accuracy gate: the analytic spectrum to 1e-10."""
@@ -543,7 +555,7 @@ def bench_feast_1m(grid=1024):
     import scipy.sparse.linalg as spl
 
     jax.config.update("jax_enable_x64", True)
-    from sparse_linear_tpu.eig.feast import FeastParams, eigsh
+    from sparse_linear_tpu.eig.chebyshev import eigsh_filtered
     from sparse_linear_tpu.utils.grids import poisson_2d
 
     g = grid
@@ -561,22 +573,23 @@ def bench_feast_1m(grid=1024):
     cpu_vals, _ = spl.eigsh(As.tocsc(), k=50, sigma=emax / 2, which="LM")
     t_cpu = time.perf_counter() - t0
 
-    p = FeastParams(tol=1e-10, dims=(g, g), backend="multifrontal")
-    res = eigsh(64, (0.0, emax), a, p)  # cold (compiles + analyze)
+    res = eigsh_filtered(64, (0.0, emax), a, tol=1e-10)  # cold (compiles)
     t0 = time.perf_counter()
-    res = eigsh(64, (0.0, emax), a, p)
+    res = eigsh_filtered(64, (0.0, emax), a, tol=1e-10)
     t_tpu = time.perf_counter() - t0
     ok = res.n_found == 50 and np.allclose(
         np.sort(np.asarray(res.values)), lam2d[:50], rtol=1e-10
     )
     return {
-        "metric": f"feast_50pairs_2d_poisson_{g * g}_wall_s",
+        "metric": f"eig_50pairs_2d_poisson_{g * g}_wall_s",
         "value": round(t_tpu, 2),
         "unit": "s",
         "vs_baseline": round(t_cpu / t_tpu, 4) if ok else 0.0,
         "cpu_arpack_splu_s": round(t_cpu, 2),
         "accuracy_1e10": bool(ok),
-        "mode": "streaming-contour",
+        "method": "chebyshev-filtered subspace (factorization-free)",
+        "n_found": int(res.n_found),
+        "epsout": float(res.epsout),
     }
 
 
@@ -605,17 +618,21 @@ def bench_spgemm(grid=1024, dtype=jnp.float32):
         Cs = As @ As
     t_cpu = (time.perf_counter() - t0) / 3
 
-    plan = spgemm_plan_well(a, a)
+    # the plan rides as a device ARGUMENT: closure-capturing it embeds the
+    # three unit-WELL packings as program literals and the remote compile
+    # request blows the tunnel's size cap (HTTP 413)
+    plan = jax.device_put(spgemm_plan_well(a, a))
     apply_j = jax.jit(
-        lambda ad, bd: spgemm_apply_well(plan, ad, bd, interpret=False).data
+        lambda plan, ad, bd:
+            spgemm_apply_well(plan, ad, bd, interpret=False).data
     )
     ad = jnp.asarray(a.data)
-    cd = apply_j(ad, ad)
+    cd = apply_j(plan, ad, ad)
     float(cd[0])  # warm + sync
     best = np.inf
     for _ in range(5):
         t0 = time.perf_counter()
-        cd = apply_j(ad, ad)
+        cd = apply_j(plan, ad, ad)
         float(cd[0])
         best = min(best, time.perf_counter() - t0)
     # correctness gate against scipy on this run

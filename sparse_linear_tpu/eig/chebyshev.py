@@ -80,20 +80,42 @@ def _cholqr2(y):
     return y
 
 
-def _cheb_filter(a_mm, y, deg: int, center: float, half: float,
-                 lam0: float):
-    """ChASE-scaled block Chebyshev filter: amplifies [lam0-ish, emax],
-    damps [emax, lam_ub] (center/half map the damped region to [-1, 1])."""
-    sigma = half / (center - lam0)
-    tau = 2.0 / sigma
-    y0 = y
-    y1 = (a_mm(y0) - center * y0) * (sigma / half)
-    for _ in range(1, deg):
-        sigma_new = 1.0 / (tau - sigma)
-        y2 = 2.0 * (sigma_new / half) * (a_mm(y1) - center * y1) \
-            - (sigma * sigma_new) * y0
-        y0, y1, sigma = y1, y2, sigma_new
-    return y1
+def _make_filter(a_mm, y_example, deg: int):
+    """ONE compiled program for the whole degree-``deg`` block filter.
+
+    A Python loop of eager ``a_mm`` calls (the first cut) dispatches
+    ``deg`` ops per pass through the runtime: at 1M x 64 each intermediate
+    is 512 MB and the async queue pinned hundreds of them — measured
+    ~14 s/pass of dispatch latency and an eventual RESOURCE_EXHAUSTED.
+    ``closure_convert`` turns the operator closure's captured arrays into
+    ARGUMENTS (a closure-constant operator would be re-shipped as program
+    literals on every execution by this runtime), and the three-term
+    recurrence runs as a ``fori_loop`` with two carried blocks."""
+    import functools
+
+    pure_mm, consts = jax.closure_convert(a_mm, y_example)
+
+    @functools.partial(jax.jit, static_argnames=("deg",))
+    def run(consts, y, center, half, lam0, deg):
+        sigma0 = half / (center - lam0)
+        tau = 2.0 / sigma0
+        y1 = (pure_mm(y, *consts) - center * y) * (sigma0 / half)
+
+        def body(i, c):
+            y0, y1, sigma = c
+            sn = 1.0 / (tau - sigma)
+            y2 = 2.0 * (sn / half) * (pure_mm(y1, *consts) - center * y1) \
+                - (sigma * sn) * y0
+            return (y1, y2, sn)
+
+        _, y1, _ = jax.lax.fori_loop(1, deg, body, (y, y1, sigma0))
+        return y1
+
+    def filt(y, center, half, lam0):
+        return run(consts, y, jnp.float64(center), jnp.float64(half),
+                   jnp.float64(lam0), deg=deg)
+
+    return filt
 
 
 def eigsh_filtered(m0, interval, mat_a, tol: float = 1e-10,
@@ -166,12 +188,14 @@ def eigsh_filtered(m0, interval, mat_a, tol: float = 1e-10,
         ax = dot64(aq, sel)
         return ew[:m_keep], x, ax
 
+    filt = _make_filter(a_mm, y, degree)
     expand_next = False
     for it in range(max_passes):
         passes = it + 1
         if epsout > 1e-7 or not expand_next:
             # filter pass: high-gain Chebyshev filtering of the block
-            y = _cheb_filter(a_mm, y, degree, center, half, lam0)
+            x_dev = ax = None  # free last pass's blocks (recomputed below)
+            y = filt(y, center, half, lam0)
             ew, x_dev, ax = rayleigh_ritz(y, m0)
             expand_next = True
         else:
@@ -184,10 +208,16 @@ def eigsh_filtered(m0, interval, mat_a, tol: float = 1e-10,
             # monotone ~6x/pass to 1e-11 where either alone stalls.
             rblk = ax - x_dev * jnp.asarray(ew)[None, :]
             rn = jnp.linalg.norm(rblk, axis=0)
-            rblk = rblk / jnp.maximum(rn, 1e-300)
-            ew, x_dev, ax = rayleigh_ritz(
-                jnp.concatenate([x_dev, rblk], axis=1), m0
+            basis = jnp.concatenate(
+                [x_dev, rblk / jnp.maximum(rn, 1e-300)], axis=1
             )
+            # free the dead (n, m0) blocks BEFORE the wide-basis RR: at
+            # 1M dof each is 512 MB and the doubled-basis CholeskyQR is
+            # the solve's HBM peak (OOM observed with them live)
+            del rblk, rn
+            x_dev = ax = y = None
+            ew, x_dev, ax = rayleigh_ritz(basis, m0)
+            del basis
             expand_next = False
         rnorm = np.asarray(jnp.linalg.norm(
             ax - x_dev * jnp.asarray(ew)[None, :], axis=0

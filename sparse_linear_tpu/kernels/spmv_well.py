@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["well_spmv", "well_spmm", "well_spmm_planes",
-           "attach_window_plan"]
+           "well_planes_width", "attach_window_plan"]
 
 _LANES = 128
 _VREG_ROWS = 1024
@@ -427,7 +427,24 @@ def _spmm_planes_real(a, xp, interpret, vb, mt, force=None):
     if force == "windowed":
         raise ValueError("well_spmm: no window plan available "
                          "(packing has no base ranges or operands traced)")
+    if xp.shape[1] > nc:
+        xp = xp[:, :nc]  # pre-padded planes: the resident path wants (m, nc)
     return _spmm_resident(a, xp, interpret=interpret, vb=vb, mt=mt)
+
+
+def well_planes_width(a, vb: int = 8) -> int:
+    """Kernel-native padded plane width for :func:`well_spmm_planes`.
+
+    Iterative consumers that allocate their RHS block at this many columns
+    (the tail beyond ``a.shape[1]`` MUST be zero) skip the wrapper's
+    per-call pad/relayout of the whole block entirely — the pad becomes a
+    no-op and the reshape a bitcast.  Falls back to ``a.shape[1]`` when
+    the packing carries no window plan."""
+    plan = _window_plan(a, vb)
+    if plan is None:
+        return int(a.shape[1])
+    uvr, _, _, n_units = plan
+    return n_units * uvr * _LANES
 
 
 def well_spmm_planes(a, xp, interpret: bool | None = None, vb: int = 8,
@@ -435,12 +452,18 @@ def well_spmm_planes(a, xp, interpret: bool | None = None, vb: int = 8,
     """Plane-major multi-RHS SpMM: ``xp`` of shape (m, nc), one RHS per ROW,
     returns (m, nr).  The kernel-native layout — iterative consumers that
     keep their block in plane-major chain SpMMs with zero transposes
-    (:func:`well_spmm` is this plus a transpose on each side)."""
+    (:func:`well_spmm` is this plus a transpose on each side).  ``xp`` may
+    also arrive pre-padded to ``well_planes_width(a)`` columns (tail
+    zeros): then no per-call relayout happens at all."""
     xp = jnp.asarray(xp)
-    if xp.ndim != 2 or xp.shape[1] != a.shape[1]:
+    ok_width = xp.ndim == 2 and (
+        xp.shape[1] == a.shape[1]
+        or xp.shape[1] == well_planes_width(a, vb)
+    )
+    if not ok_width:
         raise ValueError(
-            f"well_spmm_planes: expected (m, {a.shape[1]}) planes, got "
-            f"{xp.shape}"
+            f"well_spmm_planes: expected (m, {a.shape[1]}) planes (or the "
+            f"pre-padded width well_planes_width(a)), got {xp.shape}"
         )
     if interpret is None:
         interpret = _interpret_default()

@@ -48,7 +48,7 @@ from sparse_linear_tpu.kernels.spmv_well import (
     _gather_lanes, _gather_sublanes, _I0, _LANES, _VREG_ROWS,
 )
 
-__all__ = ["WELL64", "csr_to_well64", "well_spmv64"]
+__all__ = ["WELL64", "csr_to_well64", "well_spmv64", "well_spmm64_planes"]
 
 _SPLIT = np.float32(4097.0)  # Veltkamp constant for f32: 2^ceil(24/2) + 1
 
@@ -199,6 +199,129 @@ def _well_spmv_df64(a64, x, zero, interpret=False, vb=16):
                a64.vals_lo)
     y = yh.astype(jnp.float64) + yl.astype(jnp.float64)
     return y.reshape(-1)[:nr]
+
+
+def _kernel_spmm_df64(bases_ref, zero_ref, xh_ref, xl_ref, idx_ref, vh_ref,
+                      vl_ref, oh_ref, ol_ref, *, c_max: int, vb: int,
+                      mt: int):
+    """Multi-RHS double-float kernel: resident-X plane-major layout (the
+    f32 :func:`spmv_well._spmm_kernel` structure) with the compensated
+    (hi, lo) accumulation of :func:`_kernel_df64` per RHS plane."""
+    step_v = pl.program_id(1)
+    z = zero_ref[...]
+    for b in range(vb):
+        acc_h = [jnp.zeros((8, _LANES), jnp.float32) for _ in range(mt)]
+        acc_l = [jnp.zeros((8, _LANES), jnp.float32) for _ in range(mt)]
+        for c in range(c_max):
+            base = bases_ref[(step_v * vb + b) * c_max + c]
+            packed = idx_ref[b, c]
+            hi = packed >> 7
+            lo = packed & 127
+            vh = vh_ref[b, c]
+            vl = vl_ref[b, c]
+            for t in range(mt):
+                gh = _gather_lanes(_gather_sublanes(
+                    xh_ref[t, pl.ds(base, 8), :], hi), lo)
+                gl = _gather_lanes(_gather_sublanes(
+                    xl_ref[t, pl.ds(base, 8), :], hi), lo)
+                p, pe = _two_prod(vh, gh, z)
+                small = pe + vh * gl + vl * gh
+                acc_h[t], se = _two_sum(acc_h[t], p)
+                acc_l[t] = acc_l[t] + (se + small)
+        for t in range(mt):
+            oh_ref[t, pl.ds(b * 8, 8), :] = acc_h[t]
+            ol_ref[t, pl.ds(b * 8, 8), :] = acc_l[t]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "vb", "mt"))
+def _well_spmm_df64(a64, xp, zero, interpret=False, vb=8, mt=8):
+    a = a64.well
+    nr, nc = a.shape
+    nv, cm = a.bases.shape
+    m = xp.shape[0]
+    while nv % vb:
+        vb //= 2
+    vb = max(vb, 1)
+    nc_pad = max(-(-nc // _VREG_ROWS) * _VREG_ROWS, _VREG_ROWS)
+    # both x planes sit resident in VMEM: halve the f32 kernel's tile budget
+    from sparse_linear_tpu.kernels.spmv_well import _X_TILE_BUDGET
+
+    col_bytes = (nc_pad + _VREG_ROWS) * 4
+    mt = max(1, min(mt, _X_TILE_BUDGET // max(2 * col_bytes, 1)))
+    m_pad = -(-m // mt) * mt
+    x64 = xp.astype(jnp.float64)
+    xh = x64.astype(jnp.float32)
+    xl = (x64 - xh.astype(jnp.float64)).astype(jnp.float32)
+    pad = ((0, m_pad - m), (0, nc_pad + _VREG_ROWS - nc))
+    xh3 = jnp.pad(xh, pad).reshape(m_pad, -1, _LANES)
+    xl3 = jnp.pad(xl, pad).reshape(m_pad, -1, _LANES)
+
+    grid = (m_pad // mt, nv // vb)
+    f = pl.pallas_call(
+        functools.partial(_kernel_spmm_df64, c_max=cm, vb=vb, mt=mt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((8, _LANES), lambda t, v, s: (_I0, _I0)),
+                pl.BlockSpec((mt,) + xh3.shape[1:],
+                             lambda t, v, s: (t, _I0, _I0)),
+                pl.BlockSpec((mt,) + xl3.shape[1:],
+                             lambda t, v, s: (t, _I0, _I0)),
+                pl.BlockSpec((vb, cm, 8, _LANES),
+                             lambda t, v, s: (v, _I0, _I0, _I0)),
+                pl.BlockSpec((vb, cm, 8, _LANES),
+                             lambda t, v, s: (v, _I0, _I0, _I0)),
+                pl.BlockSpec((vb, cm, 8, _LANES),
+                             lambda t, v, s: (v, _I0, _I0, _I0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((mt, vb * 8, _LANES),
+                             lambda t, v, s: (t, v, _I0)),
+                pl.BlockSpec((mt, vb * 8, _LANES),
+                             lambda t, v, s: (t, v, _I0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((m_pad, nv * 8, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, nv * 8, _LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20,
+        ),
+        interpret=interpret,
+    )
+    yh, yl = f(a.bases.reshape(-1), zero, xh3, xl3, a.idx, a.vals,
+               a64.vals_lo)
+    y = yh.astype(jnp.float64) + yl.astype(jnp.float64)
+    return y.reshape(m_pad, -1)[:m, :nr]
+
+
+def well_spmm64_planes(a64: WELL64, xp, interpret: bool | None = None,
+                       vb: int = 8, mt: int = 8):
+    """Y = A @ X in double-float precision, plane-major: ``xp`` (m, nc),
+    one RHS per row; returns (m, nr) f64 at ~1e-13 relative.
+
+    The f64 analog of :func:`spmv_well.well_spmm_planes` (the FEAST
+    ijob=30/40 hot multiply, reference Feast.hs:203-208, at Double)."""
+    from sparse_linear_tpu.kernels.spmv_well import _interpret_default
+
+    xp = jnp.asarray(xp)
+    if xp.ndim != 2 or xp.shape[1] != a64.shape[1]:
+        raise ValueError(
+            f"well_spmm64_planes: expected (m, {a64.shape[1]}) planes, "
+            f"got {xp.shape}"
+        )
+    if jnp.iscomplexobj(xp):
+        yr = well_spmm64_planes(a64, jnp.real(xp), interpret=interpret,
+                                vb=vb, mt=mt)
+        yi = well_spmm64_planes(a64, jnp.imag(xp), interpret=interpret,
+                                vb=vb, mt=mt)
+        return yr + 1j * yi
+    if interpret is None:
+        interpret = _interpret_default()
+    zero = jnp.zeros((8, _LANES), jnp.float32)
+    return _well_spmm_df64(a64, xp, zero, interpret=interpret, vb=vb, mt=mt)
 
 
 def well_spmv64(a64: WELL64, x, interpret: bool | None = None):

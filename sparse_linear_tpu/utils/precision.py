@@ -77,17 +77,25 @@ def dot64(a, b):
         a_lo = jnp.pad(a_lo, ((0, 0), (0, pad)))
         b_hi = jnp.pad(b_hi, ((0, pad), (0, 0)))
         b_lo = jnp.pad(b_lo, ((0, pad), (0, 0)))
-    # (m, nc, C) -> chunk-major batched lhs; rhs reshapes contiguously
-    ar_hi = a_hi.reshape(m, nc, _CHUNK).transpose(1, 0, 2)
-    ar_lo = a_lo.reshape(m, nc, _CHUNK).transpose(1, 0, 2)
+    # batch over chunks WITHOUT materializing a chunk-major lhs: the batch
+    # dim can sit at axis 1 of the (m, nc, C) reshape (dot_general allows
+    # batch dims anywhere) — the old .transpose(1, 0, 2) copied the whole
+    # lhs, +1 GB of transient HBM per Gram at (1M, 128) blocks
+    ar_hi = a_hi.reshape(m, nc, _CHUNK)
+    ar_lo = a_lo.reshape(m, nc, _CHUNK)
     br_hi = b_hi.reshape(nc, _CHUNK, n)
     br_lo = b_lo.reshape(nc, _CHUNK, n)
 
     def bmm(p, q):
         return jax.lax.dot_general(
-            p, q, (((2,), (1,)), ((0,), (0,))),
+            p, q, (((2,), (1,)), ((1,), (0,))),
             preferred_element_type=jnp.float64,
         )
 
-    out = (bmm(ar_hi, br_hi) + bmm(ar_hi, br_lo)) + bmm(ar_lo, br_hi)
-    return out.sum(axis=0)
+    # chunk-sum each term IMMEDIATELY: the batched (nc, m, n) f64 products
+    # are ~1 GB each at (1M, 128) blocks, and holding all three before the
+    # final reduction tripled the transient HBM (OOM observed in the
+    # eigensolver's expanded Rayleigh-Ritz)
+    out = bmm(ar_hi, br_hi).sum(axis=0)
+    out = out + bmm(ar_hi, br_lo).sum(axis=0)
+    return out + bmm(ar_lo, br_hi).sum(axis=0)

@@ -293,3 +293,36 @@ def test_well_spmm_vector_and_mismatch(rng):
     assert y.ndim == 1
     with pytest.raises(ValueError, match="mismatch"):
         well_spmm(w, jnp.asarray(rng.standard_normal((7, 3))))
+
+
+def test_well_spmm_planes_prepadded_width():
+    """Planes pre-padded to well_planes_width(a) (tail zeros) must match
+    the (m, nc) call — the documented zero-relayout contract."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from sparse_linear_tpu.formats.well import csr_to_well
+    from sparse_linear_tpu.kernels.spmv_well import (
+        well_planes_width, well_spmm_planes,
+    )
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    g = 40
+    a = poisson_2d(g, dtype=np.float32)
+    w = csr_to_well(a)
+    n = g * g
+    m = 4
+    X = np.random.default_rng(9).standard_normal((m, n)).astype(np.float32)
+    y_ref = np.asarray(well_spmm_planes(w, jnp.asarray(X)))
+    wpw = well_planes_width(w)
+    assert wpw >= n
+    Xp = np.zeros((m, wpw), np.float32)
+    Xp[:, :n] = X
+    y_pad = np.asarray(well_spmm_planes(w, jnp.asarray(Xp)))
+    assert np.array_equal(y_ref, y_pad)
+    # wrong width still rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        well_spmm_planes(w, jnp.zeros((m, n + 1), jnp.float32))

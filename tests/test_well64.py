@@ -110,3 +110,41 @@ def test_well64_dimension_error():
     w = csr_to_well64(a)
     with pytest.raises(ValueError):
         well_spmv64(w, jnp.zeros(7))
+
+
+def test_well_spmm64_planes_poisson():
+    from sparse_linear_tpu.kernels.spmv_well64 import well_spmm64_planes
+
+    g = 24
+    a = poisson_2d(g, dtype=np.float64)
+    w = csr_to_well64(a)
+    m = 3
+    X = np.random.default_rng(4).standard_normal((m, g * g))
+    Y = np.asarray(well_spmm64_planes(w, jnp.asarray(X), vb=4, mt=4))
+    As = sp.csr_matrix(
+        (np.asarray(a.data), np.asarray(a.indices), np.asarray(a.indptr)),
+        shape=a.shape)
+    ref = (As @ X.T).T
+    assert Y.shape == (m, g * g)
+    assert np.linalg.norm(Y - ref) / np.linalg.norm(ref) < 1e-13
+
+
+def test_well_spmm64_planes_unstructured():
+    from sparse_linear_tpu.kernels.spmv_well64 import well_spmm64_planes
+
+    a, As = _random_csr(300, 250, 0.012, seed=11, scale=1e3)
+    w = csr_to_well64(a)
+    X = np.random.default_rng(12).standard_normal((2, 250)) * 1e-2
+    Y = np.asarray(well_spmm64_planes(w, jnp.asarray(X), vb=4, mt=2))
+    ref = (As @ X.T).T
+    assert np.linalg.norm(Y - ref) / max(np.linalg.norm(ref), 1e-300) < 1e-12
+
+
+def test_well_spmm64_planes_shape_error():
+    g = 8
+    a = poisson_2d(g, dtype=np.float64)
+    w = csr_to_well64(a)
+    from sparse_linear_tpu.kernels.spmv_well64 import well_spmm64_planes
+
+    with pytest.raises(ValueError):
+        well_spmm64_planes(w, jnp.zeros((3, g * g + 1)))
