@@ -242,6 +242,12 @@ def eigsh_filtered(m0, interval, mat_a, tol: float = 1e-10,
     if len(lam_np) == m0:
         info = INFO_SUBSPACE_TOO_SMALL
 
+    if y is None:
+        # the residual-expansion branch frees y before its RR; a break in
+        # that same pass would otherwise ship subspace=None to warm-restart
+        # consumers — the Ritz block is the correct restart subspace
+        y = x_dev
+
     order = np.argsort(lam_np)
     if x_dev is not None and lam_np.size:
         sel = jnp.asarray(np.nonzero(inside)[0][order])

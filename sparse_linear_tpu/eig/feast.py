@@ -104,13 +104,29 @@ class EigResult(NamedTuple):
     subspace: object         # (n, m0) final subspace for warm restart
 
 
+_HERMITIAN_CACHE: dict = {}
+_HERMITIAN_CACHE_MAX = 64
+
+
 def _check_hermitian(mat, name):
     """Reference precondition (Feast.hs:129-130): ctrans m == m.
 
     Sparse O(nnz) comparison — never densifies (a 65k-dof operator would
-    need a 16 GB dense temp)."""
-    scale = float(np.abs(np.asarray(mat.data)).max()) if mat.nnz else 1.0
-    if not mat.tocsr().is_hermitian(tol=1e-12 * max(1.0, scale)):
+    need a 16 GB dense temp).  The verdict is cached per value fingerprint:
+    production FEAST re-solves the same pencil repeatedly (warm restarts,
+    interval sweeps) and the ctrans/compare pipeline costs ~0.5 s of device
+    round trips per call at 36k dof — half the whole warm solve."""
+    from sparse_linear_tpu.eig.real_pipeline import _fingerprint
+
+    key = _fingerprint(mat)
+    ok = _HERMITIAN_CACHE.get(key)
+    if ok is None:
+        scale = float(np.abs(np.asarray(mat.data)).max()) if mat.nnz else 1.0
+        ok = bool(mat.tocsr().is_hermitian(tol=1e-12 * max(1.0, scale)))
+        if len(_HERMITIAN_CACHE) >= _HERMITIAN_CACHE_MAX:
+            _HERMITIAN_CACHE.pop(next(iter(_HERMITIAN_CACHE)))
+        _HERMITIAN_CACHE[key] = ok
+    if not ok:
         raise ValueError(f"geigsh: matrix {name} is not hermitian")
 
 

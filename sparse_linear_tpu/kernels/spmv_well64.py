@@ -53,6 +53,21 @@ __all__ = ["WELL64", "csr_to_well64", "well_spmv64", "well_spmm64_planes"]
 _SPLIT = np.float32(4097.0)  # Veltkamp constant for f32: 2^ceil(24/2) + 1
 
 
+def _require_x64(name: str) -> None:
+    """The apply-side interface arrays (x split, y = hi + lo) are f64; with
+    x64 disabled they silently truncate to f32 and the kernel's ~1e-13
+    contract degrades to ~5e-8 with only a generic dtype warning (ADVICE
+    r4).  Packing (:func:`csr_to_well64`) works either way — it scopes x64
+    itself."""
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            f"{name}: jax_enable_x64 is disabled — the f64 input/output "
+            "arrays would silently truncate to f32. Enable x64 "
+            "(jax.config.update('jax_enable_x64', True)) or use the f32 "
+            "WELL kernels."
+        )
+
+
 @pytree_dataclass(meta_fields=())
 class WELL64:
     """Double-float WELL: the hi plane rides a standard f32 WELL packing
@@ -84,8 +99,17 @@ def csr_to_well64(mat, c_max: int | None = None) -> WELL64:
     if np.iscomplexobj(np.asarray(mat.data)):
         raise TypeError("csr_to_well64: complex input — use csr_to_well "
                         "(two value planes) instead")
-    w64 = csr_to_well(mat, c_max=c_max)  # f64 planes, placement from values
-    v64 = np.asarray(w64.vals, dtype=np.float64)
+    # pack under a SCOPED x64 so the f64 value planes survive jnp
+    # conversion even when the global flag is off — without this the hi
+    # plane silently absorbed the full value and lo came out all zero,
+    # degrading well_spmv64 to ~1e-7 f32 accuracy against its ~1e-13
+    # contract (ADVICE r4)
+    with jax.enable_x64():
+        w64 = csr_to_well(mat, c_max=c_max)  # f64 planes, placement from values
+        v64 = np.asarray(w64.vals, dtype=np.float64)
+    if v64.dtype != np.float64:  # pragma: no cover - defensive
+        raise TypeError("csr_to_well64: value planes lost f64 precision "
+                        "during packing")
     hi = v64.astype(np.float32)
     lo = (v64 - hi.astype(np.float64)).astype(np.float32)
     w_hi = dataclasses.replace(w64, vals=jnp.asarray(hi))
@@ -306,6 +330,7 @@ def well_spmm64_planes(a64: WELL64, xp, interpret: bool | None = None,
     ijob=30/40 hot multiply, reference Feast.hs:203-208, at Double)."""
     from sparse_linear_tpu.kernels.spmv_well import _interpret_default
 
+    _require_x64("well_spmm64_planes")
     xp = jnp.asarray(xp)
     if xp.ndim != 2 or xp.shape[1] != a64.shape[1]:
         raise ValueError(
@@ -332,6 +357,7 @@ def well_spmv64(a64: WELL64, x, interpret: bool | None = None):
     """
     from sparse_linear_tpu.kernels.spmv_well import _interpret_default
 
+    _require_x64("well_spmv64")
     x = jnp.asarray(x)
     if x.ndim != 1 or x.shape[0] != a64.shape[1]:
         raise ValueError(
