@@ -49,6 +49,25 @@ V5E_HBM_GBS = 819.0
 SPMV_TARGET_GBS = 0.8 * V5E_HBM_GBS     # BASELINE: >80% of HBM roofline
 LU_TARGET_S = 3.0                        # UMFPACK-class 1M-dof 2D Poisson
 
+# Constant CPU baselines are measured ONCE (tools/measure_cpu_baselines.py)
+# and committed to CPU_BASELINES.json: re-measuring SuperLU-3D (624 s) and
+# ARPACK-1M (80 s) inside every bench run is what starved the r3/r4 budgets
+# (VERDICT r4 item 1).  BENCH_REMEASURE_CPU=1 re-measures in-process.
+_CPU_BASELINES_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "CPU_BASELINES.json"
+)
+
+
+def _cpu_baseline(key, field="value_s"):
+    """Cached CPU-baseline value, or None (caller then measures in-process)."""
+    if os.environ.get("BENCH_REMEASURE_CPU") == "1":
+        return None
+    try:
+        with open(_CPU_BASELINES_PATH) as f:
+            return float(json.load(f)[key][field])
+    except (OSError, KeyError, ValueError):
+        return None
+
 
 def _time_fn(f, *args, iters=50, warmup=3):
     for _ in range(warmup):
@@ -180,27 +199,31 @@ def bench_spmv_dia_f64(grid=1448):
     itemsize = 8
     bytes_moved = (a.data.size + 2 * n) * itemsize
 
-    # CPU baseline: same shifted-fma loop in numpy (in-process)
-    data_np = np.asarray(a.data)
-    x_np = np.ones((n,), np.float64) / n
-    offs = a.offsets
-    pad_lo = max(0, -min(offs))
-    pad_hi = max(0, max(offs))
-    xp_np = np.pad(x_np, (pad_lo, pad_hi))
+    # CPU baseline: same shifted-fma loop in numpy f64, from
+    # CPU_BASELINES.json (constant; tools/measure_cpu_baselines.py)
+    cpu_gbs = (_cpu_baseline("numpy_f64_spmv_1448", "value_GBs")
+               if grid == 1448 else None)
+    if cpu_gbs is None:
+        data_np = np.asarray(a.data)
+        x_np = np.ones((n,), np.float64) / n
+        offs = a.offsets
+        pad_lo = max(0, -min(offs))
+        pad_hi = max(0, max(offs))
+        xp_np = np.pad(x_np, (pad_lo, pad_hi))
 
-    def cpu_spmv():
-        y = np.zeros(n)
-        for d, off in enumerate(offs):
-            s = off + pad_lo
-            y += data_np[d] * xp_np[s:s + n]
-        return y
+        def cpu_spmv():
+            y = np.zeros(n)
+            for d, off in enumerate(offs):
+                s = off + pad_lo
+                y += data_np[d] * xp_np[s:s + n]
+            return y
 
-    cpu_spmv()
-    t0 = time.perf_counter()
-    for _ in range(3):
         cpu_spmv()
-    cpu_s = (time.perf_counter() - t0) / 3
-    cpu_gbs = bytes_moved / cpu_s / 1e9
+        t0 = time.perf_counter()
+        for _ in range(3):
+            cpu_spmv()
+        cpu_s = (time.perf_counter() - t0) / 3
+        cpu_gbs = bytes_moved / cpu_s / 1e9
 
     @jax.jit
     def chain(a, x, k):  # dynamic k: one compile for all chain lengths
@@ -229,6 +252,190 @@ def bench_spmv_dia_f64(grid=1448):
         "vs_baseline": round(gbs / max(cpu_gbs, 1e-9), 4),
         "cpu_numpy_f64_GBs": round(cpu_gbs, 2),
     }
+
+
+def bench_spmv_dia_single(grid=2048, dtype=jnp.float32):
+    """Single-pass HBM-streaming DIA SpMV — BASELINE config 1's ACTUAL
+    metric (fraction of the 655 GB/s roofline for one operator pass from
+    HBM).  Restored per VERDICT r4 item 4: ``spmv_dia_chain`` measures
+    VMEM-resident chains (a different regime); this line keeps the
+    memory-bound single-pass rate on record round-over-round.  The chain
+    here is a fori_loop of SEPARATE dia_spmv_pallas calls — each call
+    re-reads the operator from HBM by construction (only the one-launch
+    ``dia_spmv_chain`` holds it VMEM-resident)."""
+    from sparse_linear_tpu.kernels.spmv_pallas import dia_spmv_pallas
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    a = jax.device_put(poisson_2d(grid, dtype=np.dtype(dtype), fmt="dia"))
+    n = grid * grid
+    x = jnp.ones((n // 128, 128), dtype) / n  # pre-tiled: no 1D<->2D relayout
+    itemsize = jnp.dtype(dtype).itemsize
+    bytes_moved = (a.data.size + 2 * n) * itemsize
+
+    @jax.jit
+    def chain(a, x, k):  # dynamic k: one compile for all chain lengths
+        return jax.lax.fori_loop(
+            0, k, lambda i, x: dia_spmv_pallas(a, x, alpha=0.25), x
+        )
+
+    def timed(k):
+        r = chain(a, x, k)
+        float(r[0, 0])
+        best = np.inf
+        for _ in range(4):
+            t0 = time.perf_counter()
+            r = chain(a, x, k)
+            float(r[0, 0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = 50, 350
+    per_iter = (timed(n2) - timed(n1)) / (n2 - n1)
+    gbs = bytes_moved / per_iter / 1e9
+    return {
+        "metric": f"spmv_dia_single_pass_2d_poisson_{n}_f32_GBs",
+        "value": round(gbs, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbs / SPMV_TARGET_GBS, 4),
+    }
+
+
+def bench_spmv_well64(grid=1448):
+    """Double-float WELL SpMV: unstructured f64 at 32-bit gather speed
+    (VERDICT r4 item 5 — the Native-Double parity answer for ARBITRARY
+    patterns; reference SPECIALIZE Double, Matrix/Sparse.hs:456-457).
+    The 1448^2 Poisson pattern is treated as arbitrary CSR (no DIA
+    structure assumed); values are f64, split into hi/lo f32 planes with
+    compensated (TwoProd/TwoSum) accumulation in-kernel.  Accuracy is
+    checked against an in-process numpy f64 reference; vs_baseline is the
+    same honest platform comparison as bench_spmv_dia_f64: TPU GB/s over
+    the CPU's best f64 rate on this operator (the DIA shifted-fma loop —
+    faster than any CPU CSR path, so the ratio is conservative)."""
+    jax.config.update("jax_enable_x64", True)
+    from sparse_linear_tpu.kernels.spmv_well64 import (
+        csr_to_well64, well_spmv64,
+    )
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    a = poisson_2d(grid, dtype=np.float64)
+    nnz = a.nnz
+    n = grid * grid
+    w = jax.device_put(csr_to_well64(a))
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(n), jnp.float64
+    )
+
+    # accuracy vs in-process scipy f64 reference
+    import scipy.sparse as sp
+
+    As = sp.csr_matrix(
+        (np.asarray(a.data), np.asarray(a.indices), np.asarray(a.indptr)),
+        shape=a.shape,
+    )
+    y_ref = As @ np.asarray(x)
+    y = np.asarray(well_spmv64(w, x, interpret=False))
+    rel_err = float(
+        np.linalg.norm(y - y_ref) / max(np.linalg.norm(y_ref), 1e-300)
+    )
+
+    cpu_gbs = _cpu_baseline("numpy_f64_spmv_1448", "value_GBs") or 3.95
+
+    @jax.jit
+    def chain(w, x, k):
+        return jax.lax.fori_loop(
+            0, k, lambda i, x: well_spmv64(w, x, interpret=False) * 0.25, x
+        )
+
+    def timed(k):
+        r = chain(w, x, k)
+        float(r[0])
+        best = np.inf
+        for _ in range(4):
+            t0 = time.perf_counter()
+            r = chain(w, x, k)
+            float(r[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = 30, 180
+    per_iter = (timed(n2) - timed(n1)) / (n2 - n1)
+    # streams: idx + hi + lo planes per entry, x + y in f64
+    useful = nnz * (4 + 4 + 4) + 2 * n * 8
+    gbs = useful / per_iter / 1e9
+    return {
+        "metric": f"spmv_well64_unstructured_2d_poisson_{n}_f64_GBs",
+        "value": round(gbs, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbs / cpu_gbs, 4),
+        "cpu_numpy_f64_GBs": round(cpu_gbs, 2),
+        "rel_err_vs_f64": rel_err,
+        "accuracy_ok": bool(rel_err < 1e-12),
+    }
+
+
+def bench_spmv_10m(grid=216, dtype=jnp.float32):
+    """Config-5 scale rehearsal on ONE chip (VERDICT r4 item 6): the
+    10M-dof 3D Poisson operator (216^3 = 10,077,696 dof, ~70M nnz) —
+    DIA SpMV streaming rate plus a WELL packing of the same pattern as
+    arbitrary CSR, with the HBM peak on record.  Evidence that the
+    multi-chip target's per-chip working set fits and streams at roofline
+    within this environment's single-chip limits."""
+    from sparse_linear_tpu.formats.well import csr_to_well
+    from sparse_linear_tpu.kernels.spmv import dia_spmv
+    from sparse_linear_tpu.kernels.spmv_well import well_spmv
+    from sparse_linear_tpu.utils.grids import poisson_3d
+
+    n = grid ** 3
+    a = jax.device_put(poisson_3d(grid, dtype=np.dtype(dtype), fmt="dia"))
+    x = jnp.ones((n,), dtype) / n
+    itemsize = jnp.dtype(dtype).itemsize
+    bytes_moved = (a.data.size + 2 * n) * itemsize
+
+    @jax.jit
+    def chain(a, x, k):
+        return jax.lax.fori_loop(
+            0, k, lambda i, x: dia_spmv(a, x) * 0.25, x
+        )
+
+    def timed(k):
+        r = chain(a, x, k)
+        float(r[0])
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = chain(a, x, k)
+            float(r[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = 20, 120
+    per_iter = (timed(n2) - timed(n1)) / (n2 - n1)
+    gbs = bytes_moved / per_iter / 1e9
+
+    # WELL packing of the same operator as arbitrary CSR + one SpMV
+    acsr = poisson_3d(grid, dtype=np.dtype(dtype))
+    t0 = time.perf_counter()
+    w = jax.device_put(csr_to_well(acsr))
+    pack_s = time.perf_counter() - t0
+    y = well_spmv(w, x, interpret=False)
+    float(y[0])
+
+    out = {
+        "metric": f"spmv_dia_3d_poisson_{n}_f32_GBs",
+        "value": round(gbs, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(gbs / SPMV_TARGET_GBS, 4),
+        "well_pack_s": round(pack_s, 2),
+        "well_fill": round(float(w.fill), 4),
+    }
+    try:
+        stats = jax.devices()[0].memory_stats()
+        out["hbm_peak_gb"] = round(
+            stats.get("peak_bytes_in_use", 0) / 2 ** 30, 2
+        )
+    except Exception:
+        pass
+    return out
 
 
 def bench_lu_1m(grid=1024):
@@ -416,37 +623,40 @@ def bench_lu_3d(grid=64):
     a32 = poisson_3d(grid, dtype=np.float32)
     a64 = poisson_3d(grid, dtype=np.float64)
 
-    # CPU baseline in a TIME-BOXED SUBPROCESS: SuperLU on 3D fill takes
-    # 16 GB RSS and tens of minutes at 64^3 (measured >40 min — it silently
-    # ate the whole round-3 and round-4 bench budgets).  On timeout the
-    # elapsed bound stands in as a LOWER bound of the CPU time, making
-    # vs_baseline a lower bound of the true ratio — honest and bounded.
-    import subprocess
-
-    cpu_box_s = float(os.environ.get("BENCH_LU3D_CPU_BOX_S", "240"))
-    code = (
-        "import time, numpy as np, scipy.sparse as sp,"
-        " scipy.sparse.linalg as spl\n"
-        "import sys; sys.path.insert(0, %r)\n"
-        "from sparse_linear_tpu.utils.grids import poisson_3d\n"
-        "a = poisson_3d(%d, dtype=np.float64)\n"
-        "As = sp.csr_matrix((np.asarray(a.data), np.asarray(a.indices),"
-        " np.asarray(a.indptr)), shape=a.shape).tocsc()\n"
-        "t0 = time.perf_counter(); spl.splu(As);"
-        " print(time.perf_counter() - t0)\n"
-    ) % (os.path.dirname(os.path.abspath(__file__)), grid)
-    t0 = time.perf_counter()
+    # CPU baseline from CPU_BASELINES.json: the full (non-timed-out) SuperLU
+    # number is 623.87 s, measured once (tools/measure_cpu_baselines.py) —
+    # re-measuring a constant 10-minute factorization inside the budget is
+    # what starved r3/r4.  Fallback: the r4 time-boxed subprocess (lower
+    # bound of the true CPU time, honest and bounded).
+    t_cpu = _cpu_baseline("superlu_3d_64") if grid == 64 else None
     cpu_bounded = False
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True,
-            timeout=cpu_box_s, text=True,
-            env={**os.environ, "JAX_PLATFORMS": "cpu"},
-        )
-        t_cpu = float(r.stdout.strip().splitlines()[-1])
-    except (subprocess.TimeoutExpired, ValueError, IndexError):
-        t_cpu = time.perf_counter() - t0  # lower bound
-        cpu_bounded = True
+    cpu_cached = t_cpu is not None
+    if t_cpu is None:
+        import subprocess
+
+        cpu_box_s = float(os.environ.get("BENCH_LU3D_CPU_BOX_S", "240"))
+        code = (
+            "import time, numpy as np, scipy.sparse as sp,"
+            " scipy.sparse.linalg as spl\n"
+            "import sys; sys.path.insert(0, %r)\n"
+            "from sparse_linear_tpu.utils.grids import poisson_3d\n"
+            "a = poisson_3d(%d, dtype=np.float64)\n"
+            "As = sp.csr_matrix((np.asarray(a.data), np.asarray(a.indices),"
+            " np.asarray(a.indptr)), shape=a.shape).tocsc()\n"
+            "t0 = time.perf_counter(); spl.splu(As);"
+            " print(time.perf_counter() - t0)\n"
+        ) % (os.path.dirname(os.path.abspath(__file__)), grid)
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                timeout=cpu_box_s, text=True,
+                env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            )
+            t_cpu = float(r.stdout.strip().splitlines()[-1])
+        except (subprocess.TimeoutExpired, ValueError, IndexError):
+            t_cpu = time.perf_counter() - t0  # lower bound
+            cpu_bounded = True
 
     sym = mf.analyze(a32, dims=(grid, grid, grid))
 
@@ -471,6 +681,7 @@ def bench_lu_3d(grid=64):
         "unit": "s",
         "vs_baseline": round(t_cpu / factor_s, 4),
         "cpu_superlu_s": round(t_cpu, 2),
+        "cpu_superlu_cached": cpu_cached,  # from CPU_BASELINES.json
         "cpu_superlu_timed_out": cpu_bounded,  # then vs_baseline is a LOWER bound
         "refined_residual": float(info.residual_norm),
         "accuracy_1e10": bool(float(info.residual_norm) < 1e-10),
@@ -488,15 +699,14 @@ def bench_lu_3d(grid=64):
 def bench_feast_50(grid=192):
     """Config-4 gate: ~50 lowest eigenpairs of the 2D Poisson operator.
 
-    CPU baseline measured in-process: scipy ARPACK shift-invert on SuperLU
-    factors (the UMFPACK-class sparse-LU + eigensolver stack the reference
-    binds).  TPU: the native FEAST driver, warm (second call; the contour
-    factorizations recompile only on pattern change, mirroring the
-    reference's analyze-once staging).  Accuracy gate: eigenvalues match
-    the analytic spectrum to 1e-10 relative."""
-    import scipy.sparse as sp
-    import scipy.sparse.linalg as spl
-
+    CPU baseline: scipy ARPACK shift-invert on SuperLU factors (the
+    UMFPACK-class sparse-LU + eigensolver stack the reference binds),
+    WARM best-of-3 from CPU_BASELINES.json — symmetric with the TPU side's
+    warm best-of-3 (VERDICT r4 weak-4: the r4 comparison was warm-TPU vs
+    cold-CPU; both sides' cold numbers also ship in the record).  TPU: the
+    native FEAST driver, warm (the contour factorizations recompile only on
+    pattern change, mirroring the reference's analyze-once staging).
+    Accuracy gate: eigenvalues match the analytic spectrum to 1e-10."""
     jax.config.update("jax_enable_x64", True)
     from sparse_linear_tpu.eig.feast import FeastParams, eigsh
     from sparse_linear_tpu.utils.grids import poisson_2d
@@ -508,16 +718,30 @@ def bench_feast_50(grid=192):
     lam2d = np.sort((lam1d[:, None] + lam1d[None, :]).ravel())
     emax = float((lam2d[49] + lam2d[50]) / 2)
 
-    As = sp.csr_matrix(
-        (np.asarray(a.data), np.asarray(a.indices), np.asarray(a.indptr)),
-        shape=a.shape,
-    )
-    t0 = time.perf_counter()
-    cpu_vals, _ = spl.eigsh(As.tocsc(), k=50, sigma=emax / 2, which="LM")
-    t_cpu = time.perf_counter() - t0
+    t_cpu = _cpu_baseline("arpack_36k", "warm_best3_s") if g == 192 else None
+    t_cpu_cold = _cpu_baseline("arpack_36k", "cold_s") if g == 192 else None
+    cpu_cached = t_cpu is not None
+    if t_cpu is None:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spl
+
+        As = sp.csr_matrix(
+            (np.asarray(a.data), np.asarray(a.indices),
+             np.asarray(a.indptr)), shape=a.shape,
+        ).tocsc()
+        t0 = time.perf_counter()
+        spl.eigsh(As, k=50, sigma=emax / 2, which="LM")
+        t_cpu_cold = time.perf_counter() - t0
+        t_cpu = np.inf
+        for _ in range(3):  # warm best-of-3, symmetric with the TPU side
+            t0 = time.perf_counter()
+            spl.eigsh(As, k=50, sigma=emax / 2, which="LM")
+            t_cpu = min(t_cpu, time.perf_counter() - t0)
 
     p = FeastParams(tol=1e-10, dims=(g, g), backend="multifrontal")
+    t0 = time.perf_counter()
     res = eigsh(80, (0.0, emax), a, p)  # cold (compiles)
+    t_tpu_cold = time.perf_counter() - t0
     t_tpu = np.inf
     for _ in range(3):  # warm best-of-3: single-shot wobbles ~±20%
         t0 = time.perf_counter()
@@ -531,7 +755,12 @@ def bench_feast_50(grid=192):
         "value": round(t_tpu, 2),
         "unit": "s",
         "vs_baseline": round(t_cpu / t_tpu, 4) if ok else 0.0,
-        "cpu_arpack_splu_s": round(t_cpu, 2),
+        "cpu_arpack_splu_warm_s": round(t_cpu, 2),
+        "cpu_arpack_splu_cold_s": (round(t_cpu_cold, 2)
+                                   if t_cpu_cold is not None else None),
+        "cpu_cached": cpu_cached,
+        "tpu_cold_s": round(t_tpu_cold, 2),
+        "methodology": "warm best-of-3 on BOTH sides; cold on record",
         "accuracy_1e10": bool(ok),
     }
 
@@ -549,11 +778,10 @@ def bench_feast_1m(grid=1024):
     interval at 1M dof.  The streaming-contour FEAST path stays covered by
     tests and the 36k component.)
 
-    CPU baseline in-process: scipy ARPACK shift-invert on SuperLU factors
-    at the same scale.  Accuracy gate: the analytic spectrum to 1e-10."""
-    import scipy.sparse as sp
-    import scipy.sparse.linalg as spl
-
+    CPU baseline: scipy ARPACK shift-invert on SuperLU factors at the same
+    scale, from CPU_BASELINES.json (72.5 s — a constant; re-measuring it
+    in-process each round helped starve r3/r4).  Accuracy gate: the
+    analytic spectrum to 1e-10."""
     jax.config.update("jax_enable_x64", True)
     from sparse_linear_tpu.eig.chebyshev import eigsh_filtered
     from sparse_linear_tpu.utils.grids import poisson_2d
@@ -565,13 +793,19 @@ def bench_feast_1m(grid=1024):
     lam2d = np.sort((lam1d[:, None] + lam1d[None, :]).ravel())
     emax = float((lam2d[49] + lam2d[50]) / 2)
 
-    As = sp.csr_matrix(
-        (np.asarray(a.data), np.asarray(a.indices), np.asarray(a.indptr)),
-        shape=a.shape,
-    )
-    t0 = time.perf_counter()
-    cpu_vals, _ = spl.eigsh(As.tocsc(), k=50, sigma=emax / 2, which="LM")
-    t_cpu = time.perf_counter() - t0
+    t_cpu = _cpu_baseline("arpack_1m") if g == 1024 else None
+    cpu_cached = t_cpu is not None
+    if t_cpu is None:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spl
+
+        As = sp.csr_matrix(
+            (np.asarray(a.data), np.asarray(a.indices),
+             np.asarray(a.indptr)), shape=a.shape,
+        )
+        t0 = time.perf_counter()
+        spl.eigsh(As.tocsc(), k=50, sigma=emax / 2, which="LM")
+        t_cpu = time.perf_counter() - t0
 
     res = eigsh_filtered(64, (0.0, emax), a, tol=1e-10)  # cold (compiles)
     t0 = time.perf_counter()
@@ -586,8 +820,70 @@ def bench_feast_1m(grid=1024):
         "unit": "s",
         "vs_baseline": round(t_cpu / t_tpu, 4) if ok else 0.0,
         "cpu_arpack_splu_s": round(t_cpu, 2),
+        "cpu_cached": cpu_cached,
         "accuracy_1e10": bool(ok),
         "method": "chebyshev-filtered subspace (factorization-free)",
+        "n_found": int(res.n_found),
+        "epsout": float(res.epsout),
+    }
+
+
+def bench_feast_1m_proper(grid=1024):
+    """FEAST-PROPER (rational contour filter) at >=1M dof (VERDICT r4
+    item 3): 50 eigenpairs in the INTERIOR window [lam_100, lam_150) of the
+    1M-dof 2D Poisson pencil — a window a polynomial lowest-interval filter
+    cannot address — via the STREAMING contour (one shifted 2M-dof embedded
+    factorization resident at a time; eig/real_pipeline.stream_filter).
+
+    CPU baseline (CPU_BASELINES.json, arpack_1m_interior): scipy ARPACK
+    shift-invert on SuperLU at the same window, 275.3 s.  Accuracy gate:
+    the analytic spectrum to 1e-10 relative.  (Reference capability:
+    feast/src/Numeric/LinearAlgebra/Feast.hs:115-240.)"""
+    jax.config.update("jax_enable_x64", True)
+    from sparse_linear_tpu.eig.feast import FeastParams, eigsh
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    g = grid
+    a = poisson_2d(g, dtype=np.float64)
+    i = np.arange(1, g + 1)
+    lam1d = 4 * np.sin(i * np.pi / (2 * (g + 1))) ** 2
+    lam2d = np.sort((lam1d[:, None] + lam1d[None, :]).ravel())
+    lo = float((lam2d[99] + lam2d[100]) / 2)
+    hi = float((lam2d[149] + lam2d[150]) / 2)
+
+    t_cpu = _cpu_baseline("arpack_1m_interior") if g == 1024 else None
+    if t_cpu is None:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spl
+
+        As = sp.csr_matrix(
+            (np.asarray(a.data), np.asarray(a.indices),
+             np.asarray(a.indptr)), shape=a.shape,
+        ).tocsc()
+        t0 = time.perf_counter()
+        spl.eigsh(As, k=50, sigma=0.5 * (lo + hi), which="LM")
+        t_cpu = time.perf_counter() - t0
+
+    p = FeastParams(tol=1e-10, dims=(g, g), backend="multifrontal")
+    t0 = time.perf_counter()
+    res = eigsh(80, (lo, hi), a, p)  # cold (compiles)
+    t_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = eigsh(80, (lo, hi), a, p)  # warm (pipeline cached)
+    t_tpu = time.perf_counter() - t0
+    want = lam2d[100:150]
+    ok = res.n_found == 50 and np.allclose(
+        np.sort(np.asarray(res.values)), want, rtol=1e-10
+    )
+    return {
+        "metric": f"feast_50pairs_interior_2d_poisson_{g * g}_wall_s",
+        "value": round(t_tpu, 2),
+        "unit": "s",
+        "vs_baseline": round(t_cpu / t_tpu, 4) if ok else 0.0,
+        "cpu_arpack_splu_s": round(t_cpu, 2),
+        "tpu_cold_s": round(t_cold, 2),
+        "contour": "streaming (one embedded 2M-dof factor resident)",
+        "accuracy_1e10": bool(ok),
         "n_found": int(res.n_found),
         "epsout": float(res.epsout),
     }
@@ -654,15 +950,33 @@ def bench_spgemm(grid=1024, dtype=jnp.float32):
 
 COMPONENT_FLOOR = 0.5  # composite reports 0 unless EVERY component clears this
 
+# The composite geomean basket is FROZEN at round 4's six components so the
+# round-over-round score stays a speedup signal, not a basket-composition
+# effect (VERDICT r4 weak-5).  Every other component prints as its own
+# on-record line (and appears in per_component/extras), outside the geomean.
+_COMPOSITE_BASKET = (
+    "spmv_dia_chain_",
+    "spmv_well_unstructured_",
+    "multifrontal_factor_2d_poisson_1048576_f32_",
+    "spmm_well_planes_",
+    "multifrontal_factor_3d_poisson_",
+    "feast_50pairs_2d_poisson_36864_",
+)
+
+
+def _in_basket(metric):
+    return any(metric.startswith(p) for p in _COMPOSITE_BASKET)
+
 
 def _composite(components, partial=False):
-    ratios = [max(c["vs_baseline"], 1e-9) for c in components]
+    basket = [c for c in components if _in_basket(c["metric"])] or components
+    ratios = [max(c["vs_baseline"], 1e-9) for c in basket]
     score = float(np.prod(ratios) ** (1.0 / len(ratios)))
     accuracy_ok = all(
         c["refined_residual"] < 1e-9
-        for c in components if "refined_residual" in c
+        for c in basket if "refined_residual" in c
     ) and all(
-        c["accuracy_1e10"] for c in components if "accuracy_1e10" in c
+        c["accuracy_1e10"] for c in basket if "accuracy_1e10" in c
     )
     floor_ok = all(r >= COMPONENT_FLOOR for r in ratios)
     out = {
@@ -672,7 +986,11 @@ def _composite(components, partial=False):
         "vs_baseline": round(score, 4)
         if (accuracy_ok and floor_ok) else 0.0,
         "per_component": {
-            c["metric"]: c["vs_baseline"] for c in components
+            c["metric"]: c["vs_baseline"] for c in basket
+        },
+        "extras": {
+            c["metric"]: c["vs_baseline"]
+            for c in components if not _in_basket(c["metric"])
         },
         "all_components_above_floor": floor_ok,
     }
@@ -805,8 +1123,20 @@ def main():
         failures.append(fn.__name__)
         return None
 
-    # headline components first: a timeout kills the newest, least
-    # time-proven benches, not the round-over-round comparables
+    # NEVER-YET-MEASURED components FIRST (VERDICT r4 item 1a): a deadline
+    # must starve what is already proven, not what never printed.  The CPU
+    # baselines these need are cached in CPU_BASELINES.json (item 1b).
+    run(bench_spmv_dia_f64)
+    run(bench_lu_pivoted)
+    run(bench_spgemm)
+    run(bench_spmv_well64)
+    run(bench_spmv_dia_single)
+    _release_device_memory()  # feast_1m needs every byte of HBM
+    run(bench_feast_1m)
+    _release_device_memory()
+    run(bench_spmv_10m)
+    _release_device_memory()
+    # round-over-round comparables (the frozen composite basket) last
     spmv_r = run(bench_spmv_dia)
     well_r = run(bench_spmv_well)
     run(bench_lu_1m)
@@ -814,22 +1144,6 @@ def main():
         run(bench_spmm_well, well_r["value"])
     run(bench_lu_3d)
     run(bench_feast_50)
-    _release_device_memory()  # feast_1m needs every byte of HBM
-    run(bench_feast_1m)
-    _release_device_memory()
-    run(bench_spmv_dia_f64)
-    run(bench_lu_pivoted)
-    # on-record extra (NOT in the composite — see its docstring): printed
-    # after the composite components so a deadline kill costs nothing
-    try:
-        t0 = time.perf_counter()
-        sg = bench_spgemm()
-        sg["elapsed_s"] = round(time.perf_counter() - t0, 1)
-        print(json.dumps(sg), flush=True)
-    except Exception as e:  # never let the extra sink the composite
-        print(json.dumps({"metric": "spgemm_well_error", "value": 0.0,
-                          "unit": "none", "vs_baseline": 0.0,
-                          "detail": str(e)[:200]}), flush=True)
     composite = json.dumps(_composite(components, partial=bool(failures)))
     final_done.set()
     print(composite, flush=True)

@@ -90,10 +90,20 @@ def _make_filter(a_mm, y_example, deg: int):
     ``closure_convert`` turns the operator closure's captured arrays into
     ARGUMENTS (a closure-constant operator would be re-shipped as program
     literals on every execution by this runtime), and the three-term
-    recurrence runs as a ``fori_loop`` with two carried blocks."""
+    recurrence runs as a ``fori_loop`` with two carried blocks.
+
+    Relayout-bound operators (WELL: ``prefers_planes``) run the whole
+    recurrence in the kernel-native plane-major (m, n) layout — the
+    three-term updates are elementwise, so the only transposes are one
+    into and one out of the filter, instead of two per SpMM (deg per
+    pass)."""
     import functools
 
-    pure_mm, consts = jax.closure_convert(a_mm, y_example)
+    use_planes = (getattr(a_mm, "prefers_planes", False)
+                  and getattr(a_mm, "planes", None) is not None)
+    mm = a_mm.planes if use_planes else a_mm
+    ex = y_example.T if use_planes else y_example
+    pure_mm, consts = jax.closure_convert(mm, ex)
 
     @functools.partial(jax.jit, static_argnames=("deg",))
     def run(consts, y, center, half, lam0, deg):
@@ -112,6 +122,9 @@ def _make_filter(a_mm, y_example, deg: int):
         return y1
 
     def filt(y, center, half, lam0):
+        if use_planes:
+            return run(consts, y.T, jnp.float64(center), jnp.float64(half),
+                       jnp.float64(lam0), deg=deg).T
         return run(consts, y, jnp.float64(center), jnp.float64(half),
                    jnp.float64(lam0), deg=deg)
 

@@ -39,6 +39,8 @@ the structured SpMM closures.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -74,12 +76,40 @@ def _fingerprint(mat) -> tuple:
     )
 
 
+class _StructuredOp:
+    """Device SpMM closure with an optional plane-major fast path.
+
+    ``op(X)`` consumes column-major (n, m) blocks (the solve-boundary
+    layout).  ``op.planes(Xp)`` — when not None — consumes plane-major
+    (m, n) blocks and returns (m, nr): the native layout of the WELL
+    Pallas kernels (kernels/spmv_well.well_spmm_planes), where the
+    column-major wrapper pays two full-block relayouts per product.
+    ``prefers_planes`` marks operators that are relayout-bound in
+    column-major (WELL); consumers that can hold their block plane-major
+    across several products (the FEAST residual/Rayleigh-Ritz programs,
+    the Chebyshev three-term recurrence) switch layout when it is set.
+    """
+
+    __slots__ = ("cm", "planes", "prefers_planes", "is_identity")
+
+    def __init__(self, cm, planes=None, prefers_planes=False,
+                 is_identity=False):
+        self.cm = cm
+        self.planes = planes
+        self.prefers_planes = prefers_planes
+        self.is_identity = is_identity
+
+    def __call__(self, X):
+        return self.cm(X)
+
+
 def _structured_op(mat):
-    """(spmm_fn, is_identity) — the fast device SpMM for this operator:
+    """(spmm_op, is_identity) — the fast device SpMM for this operator:
 
     * identity -> no-op,
     * banded   -> DIA shifted-slice SpMM (exact in f64 on the VPU),
-    * unstructured 32-bit -> WELL multi-RHS Pallas kernel,
+    * unstructured 32-bit -> WELL multi-RHS Pallas kernel (plane-major
+      native — ``op.planes`` skips the wrapper's per-call relayouts),
     * unstructured f64    -> BSR batched block GEMMs (per-block contraction
       length <= 128 keeps the emulated-f64 MXU accumulation exact — the
       same chunking argument as utils/precision.dot64),
@@ -88,25 +118,39 @@ def _structured_op(mat):
     from sparse_linear_tpu.eig.feast import _is_identity
 
     if _is_identity(mat):
-        return (lambda X: X), True
+        return _StructuredOp((lambda X: X), planes=(lambda Xp: Xp),
+                             is_identity=True), True
     csr = mat.tocsr()
     try:
         from sparse_linear_tpu.formats.structured import csr_to_dia
-        from sparse_linear_tpu.kernels.spmv import dia_spmm
+        from sparse_linear_tpu.kernels.spmv import dia_spmm, dia_spmm_planes
 
         d = csr_to_dia(csr, max_diags=64)
-        return (lambda X: dia_spmm(d, X)), False
+        return _StructuredOp(
+            (lambda X: dia_spmm(d, X)),
+            planes=(lambda Xp: dia_spmm_planes(d, Xp)),
+        ), False
     except (ValueError, TypeError):
         pass
     nnz = int(csr.nnz)
     if np.dtype(csr.dtype).itemsize <= 4:
         try:
             from sparse_linear_tpu.formats.well import csr_to_well
-            from sparse_linear_tpu.kernels.spmv_well import well_spmm
+            from sparse_linear_tpu.kernels.spmv_well import (
+                well_spmm, well_spmm_planes,
+            )
 
             w = csr_to_well(csr)
             if w.fill >= 1.0 / 64.0:
-                return (lambda X: well_spmm(w, X)), False
+                # plane-major is the kernel-native layout: the column-major
+                # wrapper costs two (n, m) relayouts per product (VERDICT
+                # r4 item 2 / advisor r3) — consumers holding plane-major
+                # blocks run at the kernel's benched bandwidth
+                return _StructuredOp(
+                    (lambda X: well_spmm(w, X)),
+                    planes=(lambda Xp: well_spmm_planes(w, Xp)),
+                    prefers_planes=True,
+                ), False
         except (ValueError, TypeError):
             pass
     else:
@@ -133,12 +177,12 @@ def _structured_op(mat):
                     Xp = jnp.pad(X, ((0, _ncp - _nc), (0, 0)))
                     return bsr_spmm(_b, Xp)[:_nr]
 
-                return _bsr_mm, False
+                return _StructuredOp(_bsr_mm), False
         except (ValueError, TypeError):
             pass
     from sparse_linear_tpu.ops.linalg import spmm
 
-    return (lambda X: spmm(mat, X)), False
+    return _StructuredOp(lambda X: spmm(mat, X)), False
 
 
 class _RealPencilPipeline:
@@ -177,6 +221,16 @@ class _RealPencilPipeline:
 
         self.a_mm, _ = _structured_op(mat_a)
         self.b_mm, self.b_is_ident = _structured_op(mat_b)
+        # plane-major pipeline: when either operator is relayout-bound in
+        # column-major (WELL — kernel-native layout is (m, n) planes), the
+        # residual/Rayleigh-Ritz programs hold their blocks plane-major and
+        # transpose ONCE at the solve boundary instead of per product
+        # (VERDICT r4 item 2; reference hot multiply Feast.hs:203-208)
+        self.use_planes = bool(
+            (self.a_mm.prefers_planes or self.b_mm.prefers_planes)
+            and self.a_mm.planes is not None
+            and self.b_mm.planes is not None
+        )
 
         # f32 factor-artifact footprint of ONE shifted factorization —
         # drives the batched-vs-streaming contour decision (HBM budget).
@@ -209,6 +263,8 @@ class _RealPencilPipeline:
             return self._programs[key]
 
         a_mm, b_mm = self.a_mm, self.b_mm
+        a_pl, b_pl = self.a_mm.planes, self.b_mm.planes
+        use_planes = self.use_planes
         n = self.n
         sig_re = jnp.asarray(np.real(sigma))
         sig_im = jnp.asarray(np.imag(sigma))
@@ -229,15 +285,33 @@ class _RealPencilPipeline:
         def resid(s64, by64):
             """f64 residual of the embedded solves, computed in the ORIGINAL
             complex space through the structured SpMMs: r_k = by - (z_k B - A) s_k
-            (O(n m) per node; the embedded-CSR scatter would OOM)."""
+            (O(n m) per node; the embedded-CSR scatter would OOM).
+
+            Plane-major variant (use_planes): the four per-node products and
+            everything elementwise downstream run in the WELL kernels'
+            native (m, n) layout, with ONE relayout into and one out of the
+            solve-boundary (2n, m0) layout, instead of two per product."""
             sr = s64[:, 0::2, :]
             si = s64[:, 1::2, :]
+            zr = z_re[:, None, None]
+            zi = z_im[:, None, None]
+            if use_planes:
+                srp = jnp.swapaxes(sr, 1, 2)  # (ne, m0, n)
+                sip = jnp.swapaxes(si, 1, 2)
+                asr = jax.vmap(a_pl)(srp)
+                asi = jax.vmap(a_pl)(sip)
+                bsr = jax.vmap(b_pl)(srp)
+                bsi = jax.vmap(b_pl)(sip)
+                er = zr * bsr - zi * bsi - asr
+                ei = zr * bsi + zi * bsr - asi
+                rr = by64.T[None] - er
+                ri = -ei
+                r = jnp.stack([rr, ri], axis=-1).reshape(ne, m0, 2 * n)
+                return jnp.swapaxes(r, 1, 2)
             asr = jax.vmap(a_mm)(sr)
             asi = jax.vmap(a_mm)(si)
             bsr = jax.vmap(b_mm)(sr)
             bsi = jax.vmap(b_mm)(si)
-            zr = z_re[:, None, None]
-            zi = z_im[:, None, None]
             er = zr * bsr - zi * bsi - asr
             ei = zr * bsi + zi * bsr - asi
             rr = by64[None] - er
@@ -265,31 +339,105 @@ class _RealPencilPipeline:
             g = dot64(q.T, q)
             return q, g
 
+        # whitening and the RR blocks run as TWO programs: one fused
+        # program held q + qw + A qw + every dot64 operand split alive at
+        # once — OOM at 1M x 80 f64.  Splitting lets q's donated buffer
+        # retire before the reduced blocks allocate.
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def whiten(q, wmat):
+            """qw = q W.  ``q`` is DONATED (dead after whitening — 671 MB
+            at 1M x 80 f64)."""
+            return dot64(q, wmat)
+
         @jax.jit
-        def whiten_rr(q, wmat):
-            """Apply the whitening transform, then the reduced RR blocks
-            (stacked: the host pulls both in ONE tunnel round trip)."""
-            qw = dot64(q, wmat)
+        def rr_blocks(qw):
+            """Reduced RR blocks from the whitened subspace (stacked: the
+            host pulls both in ONE tunnel round trip).
+
+            Plane-major: for symmetric A, qw^T (A qw) == (A qw)^T qw, so the
+            reduced blocks contract the plane-major product directly — one
+            relayout of qw, zero relayouts of the products."""
+            if use_planes:
+                qwp = qw.T
+                aq = dot64(a_pl(qwp), qw)
+                bq = dot64(qwp, qw) if self.b_is_ident else dot64(
+                    b_pl(qwp), qw
+                )
+                return jnp.stack([aq, bq])
             aq = dot64(qw.T, a_mm(qw))
             bq = dot64(qw.T, qw) if self.b_is_ident else dot64(
                 qw.T, b_mm(qw)
             )
-            return qw, jnp.stack([aq, bq])
+            return jnp.stack([aq, bq])
+
+        def whiten_rr(q, wmat):
+            """Two-dispatch composition (kept as the single call site)."""
+            qw = whiten(q, wmat)
+            return qw, rr_blocks(qw)
+
+        # the Ritz phase runs as THREE programs (rotation / norms /
+        # restart-subspace): one fused program's transient arena (rotation
+        # splits + A x + the random fill all live at once) exceeds the
+        # runtime's per-program temp budget at 1M x 80 f64 — the chip
+        # holds the DATA fine (probed >20 GB), it is the per-program
+        # scratch that is capped.
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def ritz_x(qw, coeff):
+            """x = qw C.  ``qw`` is DONATED (dead after the rotation)."""
+            return dot64(qw, coeff)
+
+        # residual norms scan COLUMN BLOCKS of the Ritz set: the full-block
+        # A x holds the operator product + operand pads for all m0 columns
+        # at once (~3 GB arena at 1M x 80 f64) — loop-0 fits but the same
+        # program OOMs on later loops once the heap fragments; per-16-column
+        # steps keep the arena ~0.6 GB whatever the loop count
+        _bc = 16
+        _nb = -(-m0 // _bc)
 
         @jax.jit
-        def ritz(qw, coeff, lam_pad, keep, key):
-            """Ritz vectors, residual/x norms (stacked — one pull), and the
-            warm-restart subspace."""
-            x = dot64(qw, coeff)
-            ax = a_mm(x)
-            bx = x if self.b_is_ident else b_mm(x)
-            rnorm = jnp.linalg.norm(ax - bx * lam_pad[None, :], axis=0)
-            xnorm = jnp.maximum(
-                jnp.linalg.norm(x, axis=0), jnp.finfo(jnp.float64).tiny
-            )
+        def ritz_norms(x, lam_pad):
+            xp2 = (jnp.pad(x, ((0, 0), (0, _nb * _bc - m0)))
+                   if _nb * _bc != m0 else x)
+            lp2 = (jnp.pad(lam_pad, (0, _nb * _bc - m0))
+                   if _nb * _bc != m0 else lam_pad)
+
+            def step(carry, i):
+                xb = jax.lax.dynamic_slice_in_dim(xp2, i * _bc, _bc, 1)
+                lb = jax.lax.dynamic_slice_in_dim(lp2, i * _bc, _bc, 0)
+                if use_planes:
+                    xbp = xb.T
+                    axp = a_pl(xbp)
+                    bxp = xbp if self.b_is_ident else b_pl(xbp)
+                    rn = jnp.linalg.norm(axp - bxp * lb[:, None], axis=1)
+                else:
+                    axb = a_mm(xb)
+                    bxb = xb if self.b_is_ident else b_mm(xb)
+                    rn = jnp.linalg.norm(axb - bxb * lb[None, :], axis=0)
+                xn = jnp.linalg.norm(xb, axis=0)
+                return carry, jnp.stack([rn, xn])
+
+            _, res = jax.lax.scan(step, 0, jnp.arange(_nb))
+            norms = jnp.moveaxis(res, 1, 0).reshape(2, _nb * _bc)[:, :m0]
+            xnorm = jnp.maximum(norms[1], jnp.finfo(jnp.float64).tiny)
+            return jnp.stack([norms[0], xnorm])
+
+        @jax.jit
+        def ritz_y(x, keep, key):
             fill = jax.random.normal(key, x.shape, dtype=x.dtype)
-            y_next = jnp.where(keep[None, :] > 0, x, fill)
-            return x, jnp.stack([rnorm, xnorm]), y_next
+            return jnp.where(keep[None, :] > 0, x, fill)
+
+        def ritz(qw, coeff, lam_pad, keep, key, sync=False):
+            """Three-dispatch composition (kept as the single call site).
+            ``sync`` drains the queue between dispatches (streaming mode —
+            bounds concurrent arenas at 1M-dof scale; scalar readback, see
+            stream_filter)."""
+            x = ritz_x(qw, coeff)
+            if sync:
+                float(x[0, 0])
+            norms = ritz_norms(x, lam_pad)
+            if sync:
+                float(norms[0, 0])
+            return x, norms, ritz_y(x, keep, key)
 
         progs = {
             "pre": pre, "resid": resid, "resid_acc": resid_acc,
@@ -341,7 +489,11 @@ class _RealPencilPipeline:
         a_mm, b_mm = self.a_mm, self.b_mm
         n = self.n
 
-        @jax.jit
+        # every block argument that is dead after its program is DONATED,
+        # and the refinement residual leaves the program as f32: the 1M-dof
+        # streaming loop OOMed on the runtime's per-program temp budget
+        # with the f64 residual + both s64 copies + the factor resident
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def pre1(y):
             by = b_mm(y).astype(jnp.float64)
             by_e = jnp.stack(
@@ -351,8 +503,9 @@ class _RealPencilPipeline:
 
         @jax.jit
         def resid1(s64, by64, zr, zi):
-            """f64 residual of ONE node's embedded solve, in the original
-            complex space through the structured SpMMs."""
+            """Residual of ONE node's embedded solve, computed in f64 in
+            the original complex space through the structured SpMMs;
+            emitted as the f32 the refinement solve consumes."""
             sr = s64[0::2, :]
             si = s64[1::2, :]
             asr, asi = a_mm(sr), a_mm(si)
@@ -361,11 +514,18 @@ class _RealPencilPipeline:
             ei = zr * bsi + zi * bsr - asi
             rr = by64 - er
             ri = -ei
-            return jnp.stack([rr, ri], axis=1).reshape(2 * n, m0)
+            r = jnp.stack([rr, ri], axis=1).reshape(2 * n, m0)
+            return r.astype(jnp.float32)
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def acc1(s64, dx):
+            """s64 += dx, in place (donated) — the refinement update."""
+            return s64 + dx.astype(jnp.float64)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def qacc(q, s64, sigr, sigi):
-            """q += 2 Re(sigma_k S_k) — the per-node quadrature update."""
+            """q += 2 Re(sigma_k S_k) — the per-node quadrature update
+            (``q`` donated: accumulates in place)."""
             s64 = s64.astype(jnp.float64)
             sr = s64[0::2, :]
             si = s64[1::2, :]
@@ -375,7 +535,8 @@ class _RealPencilPipeline:
         def gram(q):
             return dot64(q.T, q)
 
-        progs = {"pre1": pre1, "resid1": resid1, "qacc": qacc, "gram": gram}
+        progs = {"pre1": pre1, "resid1": resid1, "acc1": acc1,
+                 "qacc": qacc, "gram": gram}
         self._programs[key] = progs
         return progs
 
@@ -400,11 +561,19 @@ class _RealPencilPipeline:
             fac = solve_api.factor(mat_k, self.symbolic)
             s64 = solve_api.solve(fac, rhs32).astype(jnp.float64)
             for _ in range(refine_n):
-                r = sp["resid1"](s64, by64, zr[k], zi[k])
-                dx = solve_api.solve(fac, r.astype(jnp.float32))
-                s64 = s64 + dx.astype(jnp.float64)
+                r = sp["resid1"](s64, by64, zr[k], zi[k])  # f32 out
+                dx = solve_api.solve(fac, r)
+                r = None
+                s64 = sp["acc1"](s64, dx)  # in place (donated)
+                dx = None
             q = sp["qacc"](q, s64, sr[k], si[k])
             del fac, s64  # free this node's HBM before the next factor
+            # DRAIN the dispatch queue before the next node's factor: the
+            # runtime frees a node's buffers only once its work retires,
+            # and dispatch-ahead otherwise overlaps two 3.1 GB factor sets
+            # (scalar readback — block_until_ready does not serialize on
+            # this runtime)
+            float(q[0, 0])
         return q, sp["gram"](q)
 
     def factors_for(self, z_nodes):
@@ -465,7 +634,14 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
         nonlocal _t0
         if params.debug:
             t = _time.perf_counter()
-            print(f"feast(tpu)   {label}: {t - _t0:.4f}s")
+            hbm = ""
+            try:
+                st = jax.devices()[0].memory_stats()
+                hbm = (f"  [hbm {st.get('bytes_in_use', 0) / 2**30:.2f} GB"
+                       f" peak {st.get('peak_bytes_in_use', 0) / 2**30:.2f}]")
+            except Exception:
+                pass
+            print(f"feast(tpu)   {label}: {t - _t0:.4f}s{hbm}", flush=True)
             _t0 = t
 
     emin, emax = float(interval[0]), float(interval[1])
@@ -522,6 +698,10 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
     for loop in range(params.max_loops):
         loops_done = loop + 1
         _t0 = _time.perf_counter()
+        # free last loop's Ritz block during the filter: it is rebuilt by
+        # ritz() before any exit path reads it, and at 1M x 80 f64 the
+        # 671 MB it pins is the difference between fitting and OOM
+        x_dev = None
         # ---- contour filter (ijob=10/11): batched solves + refinement
         n_ref = 0 if loop == 0 else refine_n
         if streaming:
@@ -536,6 +716,7 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
                 dx = solve_api.solve_batched(factors, r.astype(jnp.float32))
                 s64, r = progs["resid_acc"](s64, dx, by64)
             q, g = progs["combine_gram"](s64)
+        y = None  # consumed by the filter; ritz() rebuilds the subspace
         _tick(f"loop{loop} filter+gram")
 
         # ---- whitening: m0 x m0 two-pass spectral inverse square root on
@@ -552,6 +733,7 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
         _tick(f"loop{loop} whiten(host)")
 
         qw, ab = progs["whiten_rr"](q, jnp.asarray(wmat))
+        q = None  # donated into whiten_rr
         _tick(f"loop{loop} whiten_rr")
 
         # ---- reduced m0 x m0 Rayleigh-Ritz on host (Feast.hs:153-154)
@@ -569,7 +751,9 @@ def geigsh_real_tpu(m0, interval, mat_a, mat_b, params, guess=None):
         x_dev, norms_d, y = progs["ritz"](
             qw, jnp.asarray(coeff_pad), jnp.asarray(lam_pad),
             jnp.asarray(keep), jax.random.key(params.seed + loop + 1),
+            sync=streaming,
         )
+        qw = None  # donated into ritz
         norms = np.asarray(norms_d)
         res_all = norms[0] / np.maximum(norms[1], tiny) / lam_scale
         _tick(f"loop{loop} ritz")

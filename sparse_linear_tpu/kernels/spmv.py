@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from sparse_linear_tpu.dtypes import index_dtype
 from sparse_linear_tpu.formats.base import expand_indptr
 
-__all__ = ["dia_spmv", "dia_spmm", "ell_spmv", "bsr_spmv", "bsr_spmm"]
+__all__ = ["dia_spmv", "dia_spmm", "dia_spmm_planes", "ell_spmv",
+           "bsr_spmv", "bsr_spmm"]
 
 
 def dia_spmv(dia, x):
@@ -60,6 +61,31 @@ def dia_spmm(dia, x):
         start = off + pad_lo
         y = y + dia.data[d][:, None] * jax.lax.slice_in_dim(
             xp, start, start + nr, axis=0
+        )
+    return y
+
+
+def dia_spmm_planes(dia, xp):
+    """Plane-major Y = A @ X for DIA storage: ``xp`` of shape (m, ncols),
+    one RHS per ROW, returns (m, nrows).  The shifted-fma loop along the
+    lane (minor) axis — layout-matched to consumers that hold their block
+    plane-major for the WELL kernels (kernels/spmv_well.well_spmm_planes),
+    so a mixed DIA/WELL pipeline chains multiplies with zero relayouts."""
+    nr, nc = dia.shape
+    xp = jnp.asarray(xp)
+    if xp.ndim != 2 or xp.shape[1] != nc:
+        raise ValueError(
+            f"dia_spmm_planes: expected (m, {nc}) planes, got {xp.shape}"
+        )
+    offsets = dia.offsets
+    pad_lo = max(0, -min(offsets, default=0))
+    pad_hi = max(0, max(offsets, default=0) + nr - nc)
+    x2 = jnp.pad(xp, ((0, 0), (pad_lo, pad_hi)))
+    y = jnp.zeros((xp.shape[0], nr), dtype=jnp.result_type(dia.data, xp))
+    for d, off in enumerate(offsets):
+        start = off + pad_lo
+        y = y + dia.data[d][None, :] * jax.lax.slice_in_dim(
+            x2, start, start + nr, axis=1
         )
     return y
 

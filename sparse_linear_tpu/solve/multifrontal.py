@@ -677,6 +677,19 @@ def factor(mat: CSR, symbolic: MFSymbolic, kind: str = "lu",
         )
     dm = _device_maps(symbolic)
     a_data = jnp.asarray(mat.data)
+    # XLA's TPU LuDecomposition lowers only F32/C64: an f64 pivoted-LU
+    # front program dies in the REMOTE compiler with an opaque HTTP 500
+    # (found by an end-to-end drive).  Fail fast with the supported recipe
+    # instead — f32 factors + f64 iterative refinement reach 1e-10
+    # (solve_refined; the same pairing as the WELL f64 kernels).
+    if (kind != "cholesky" and a_data.dtype == jnp.float64
+            and jax.default_backend() == "tpu"):
+        raise TypeError(
+            "factor: the TPU has no f64 LU front kernel (XLA "
+            "LuDecomposition is F32/C64-only). Factor in f32 and recover "
+            "f64 accuracy with solve_refined(mat_f64, ...), or use "
+            "kind='cholesky' for SPD operators."
+        )
     rscale = None
     if scale != "none":
         a_data, rscale = _equilibrate(a_data, symbolic, kind, scale)

@@ -32,6 +32,10 @@ import jax.numpy as jnp
 __all__ = ["dot64"]
 
 _CHUNK = 256  # contraction lengths <= this accumulate exactly (measured)
+_SUPER = 512  # chunks per scan step: bounds the (chunks, m, n) f64 temps —
+              # an unbounded batched product at k=1M and (80, 80) output is
+              # ~840 MB PER TERM of transient HBM (OOM observed in the 1M-dof
+              # streaming-FEAST Gram); 512 chunks cap it at ~26 MB/step
 
 
 def _needs_split(*arrays) -> bool:
@@ -51,6 +55,12 @@ def dot64(a, b):
     b = jnp.asarray(b)
     if not _needs_split(a, b):
         return a @ b
+    return _dot64_split(a, b)
+
+
+def _dot64_split(a, b):
+    """The split+chunked implementation (runs on any backend — CPU tests
+    drive it directly, since ``dot64`` passes through to ``@`` off-TPU)."""
     m, k = a.shape
     k2, n = b.shape
     if k != k2:
@@ -68,6 +78,16 @@ def dot64(a, b):
                 preferred_element_type=jnp.float64,
             )
 
+        if 3 * k <= _CHUNK:
+            # fuse the three cross terms into ONE contraction of length 3k
+            # (still inside the exact-accumulation bound): a single (m, n)
+            # f64 output instead of three coexisting ones — at (1M, 80)
+            # blocks that is 1.3 GB less transient HBM (the 1M-dof FEAST
+            # Rayleigh-Ritz OOMed on exactly this)
+            return mm(
+                jnp.concatenate([a_hi, a_hi, a_lo], axis=1),
+                jnp.concatenate([b_hi, b_lo, b_hi], axis=0),
+            )
         return (mm(a_hi, b_hi) + mm(a_hi, b_lo)) + mm(a_lo, b_hi)
 
     nc = -(-k // _CHUNK)
@@ -96,6 +116,32 @@ def dot64(a, b):
     # are ~1 GB each at (1M, 128) blocks, and holding all three before the
     # final reduction tripled the transient HBM (OOM observed in the
     # eigensolver's expanded Rayleigh-Ritz)
-    out = bmm(ar_hi, br_hi).sum(axis=0)
-    out = out + bmm(ar_hi, br_lo).sum(axis=0)
-    return out + bmm(ar_lo, br_hi).sum(axis=0)
+    if nc <= _SUPER:
+        out = bmm(ar_hi, br_hi).sum(axis=0)
+        out = out + bmm(ar_hi, br_lo).sum(axis=0)
+        return out + bmm(ar_lo, br_hi).sum(axis=0)
+
+    # very long contractions (k > _SUPER*_CHUNK = 128k): scan over
+    # super-chunks so the batched temp stays (_SUPER, m, n) regardless of k
+    ns = -(-nc // _SUPER)
+    spad = ns * _SUPER - nc
+    if spad:
+        ar_hi = jnp.pad(ar_hi, ((0, 0), (0, spad), (0, 0)))
+        ar_lo = jnp.pad(ar_lo, ((0, 0), (0, spad), (0, 0)))
+        br_hi = jnp.pad(br_hi, ((0, spad), (0, 0), (0, 0)))
+        br_lo = jnp.pad(br_lo, ((0, spad), (0, 0), (0, 0)))
+
+    def step(acc, i):
+        p_hi = jax.lax.dynamic_slice_in_dim(ar_hi, i * _SUPER, _SUPER, 1)
+        p_lo = jax.lax.dynamic_slice_in_dim(ar_lo, i * _SUPER, _SUPER, 1)
+        q_hi = jax.lax.dynamic_slice_in_dim(br_hi, i * _SUPER, _SUPER, 0)
+        q_lo = jax.lax.dynamic_slice_in_dim(br_lo, i * _SUPER, _SUPER, 0)
+        t = bmm(p_hi, q_hi).sum(axis=0)
+        t = t + bmm(p_hi, q_lo).sum(axis=0)
+        t = t + bmm(p_lo, q_hi).sum(axis=0)
+        return acc + t, None
+
+    out, _ = jax.lax.scan(
+        step, jnp.zeros((m, n), jnp.float64), jnp.arange(ns)
+    )
+    return out
