@@ -32,6 +32,7 @@ import jax.numpy as jnp
 __all__ = ["dot64"]
 
 _CHUNK = 256  # contraction lengths <= this accumulate exactly (measured)
+_ROW_SEG = 1 << 17  # rows per scan step of the tall small-k path
 _SUPER = 512  # chunks per scan step: bounds the (chunks, m, n) f64 temps —
               # an unbounded batched product at k=1M and (80, 80) output is
               # ~840 MB PER TERM of transient HBM (OOM observed in the 1M-dof
@@ -78,17 +79,38 @@ def _dot64_split(a, b):
                 preferred_element_type=jnp.float64,
             )
 
-        if 3 * k <= _CHUNK:
-            # fuse the three cross terms into ONE contraction of length 3k
-            # (still inside the exact-accumulation bound): a single (m, n)
-            # f64 output instead of three coexisting ones — at (1M, 80)
-            # blocks that is 1.3 GB less transient HBM (the 1M-dof FEAST
-            # Rayleigh-Ritz OOMed on exactly this)
-            return mm(
-                jnp.concatenate([a_hi, a_hi, a_lo], axis=1),
-                jnp.concatenate([b_hi, b_lo, b_hi], axis=0),
-            )
-        return (mm(a_hi, b_hi) + mm(a_hi, b_lo)) + mm(a_lo, b_hi)
+        def block_mm(p_hi, p_lo):
+            if 3 * k <= _CHUNK:
+                # fuse the three cross terms into ONE contraction of
+                # length 3k (still inside the exact-accumulation bound):
+                # a single f64 output instead of three coexisting ones
+                return mm(
+                    jnp.concatenate([p_hi, p_hi, p_lo], axis=1),
+                    jnp.concatenate([b_hi, b_lo, b_hi], axis=0),
+                )
+            return (mm(p_hi, b_hi) + mm(p_hi, b_lo)) + mm(p_lo, b_hi)
+
+        if m > 2 * _ROW_SEG:
+            # tall-m: scan row blocks so the transient arena stays
+            # bounded whatever m is — the 1M x 80 FEAST whiten/Ritz
+            # rotations OOMed the runtime's per-program temp budget with
+            # the full-height operand splits + output all live at once
+            nb = -(-m // _ROW_SEG)
+            mpad = nb * _ROW_SEG
+            if mpad != m:
+                a_hi = jnp.pad(a_hi, ((0, mpad - m), (0, 0)))
+                a_lo = jnp.pad(a_lo, ((0, mpad - m), (0, 0)))
+
+            def step(c, i):
+                p_hi = jax.lax.dynamic_slice_in_dim(
+                    a_hi, i * _ROW_SEG, _ROW_SEG, 0)
+                p_lo = jax.lax.dynamic_slice_in_dim(
+                    a_lo, i * _ROW_SEG, _ROW_SEG, 0)
+                return c, block_mm(p_hi, p_lo)
+
+            _, blocks = jax.lax.scan(step, 0, jnp.arange(nb))
+            return blocks.reshape(mpad, n)[:m]
+        return block_mm(a_hi, a_lo)
 
     nc = -(-k // _CHUNK)
     pad = nc * _CHUNK - k

@@ -40,6 +40,13 @@ def test_dot64_super_chunk_scan():
     _check(3, k_scan + 5 * _CHUNK + 11, 4, 3)  # scan + chunk/super padding
 
 
+def test_dot64_tall_rows_scan():
+    """m beyond 2 * _ROW_SEG takes the row-segmented small-k path."""
+    from sparse_linear_tpu.utils.precision import _ROW_SEG
+
+    _check(2 * _ROW_SEG + 77, 13, 3, 4)
+
+
 def test_dot64_mismatch_raises():
     import pytest
 

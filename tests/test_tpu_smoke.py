@@ -158,3 +158,38 @@ def test_well_spmm_windowed_jit_on_chip(rng):
     np.testing.assert_allclose(
         np.asarray(y), (As @ xp.T).T, rtol=2e-5, atol=2e-4
     )
+
+
+def test_f64_lu_fronts_fail_fast_on_chip():
+    """f64 pivoted-LU fronts have no TPU lowering (XLA LuDecomposition is
+    F32/C64-only) — factor() must raise the actionable TypeError instead
+    of dying in the remote compiler with an HTTP 500."""
+    from sparse_linear_tpu.solve import api as solve_api
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    a64 = poisson_2d(16, dtype=np.float64)
+    sym = solve_api.analyze(a64, backend="multifrontal")
+    with pytest.raises(TypeError, match="f64 LU front"):
+        solve_api.factor(a64, sym)
+
+
+def test_planes_protocol_on_chip(rng):
+    """Plane-major structured-op protocol: op.planes == op.T on the chip
+    for both the WELL (f32 unstructured) and DIA (banded f64) routes."""
+    from sparse_linear_tpu.eig.real_pipeline import _structured_op
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    a = _random_csr(rng, 640, 640, 0.02)
+    op, _ = _structured_op(a)
+    assert op.prefers_planes
+    x = rng.standard_normal((640, 8)).astype(np.float32)
+    y_cm = np.asarray(op(jnp.asarray(x)))
+    y_pl = np.asarray(op.planes(jnp.asarray(x.T)))
+    np.testing.assert_allclose(y_pl, y_cm.T, rtol=1e-5, atol=1e-5)
+
+    d_op, _ = _structured_op(poisson_2d(24, dtype=np.float64).tocsr())
+    xd = rng.standard_normal((576, 4))
+    np.testing.assert_allclose(
+        np.asarray(d_op.planes(jnp.asarray(xd.T))),
+        np.asarray(d_op(jnp.asarray(xd))).T, rtol=1e-12, atol=1e-12,
+    )
