@@ -20,7 +20,14 @@ the ChASE/FILTLAN-class method, re-hosted on the TPU:
 
 Scope: standard problems (B = I), lowest interval [emin, emax] with emin at
 or below the spectrum floor.  Interior intervals need rational filters —
-use ``eigsh``/``geigsh``.
+use ``eigsh``/``geigsh``.  Scale caveat (measured): on heavily crowded
+lowest clusters (1M-dof 2D Poisson, 50 lowest pairs) the filtered basis
+degenerates numerically before 1e-10 — CholeskyQR2's Gram floor meets the
+filter's dynamic range and the sweep stalls near 1e-3 (48-49/50 pairs
+found, degree 316 and 1200 alike).  The streaming-contour ``eigsh``
+(rational filter, factorization-backed) converges there in 2-3 loops and
+is the production engine at that scale; this module remains the
+factorization-free option for moderate n (covered by tests to ~65k dof).
 """
 
 from __future__ import annotations

@@ -263,3 +263,31 @@ def test_dia_spmv_chain_k1_and_errors(rng):
     assert np.allclose(y1, ref.reshape(-1), rtol=1e-6)
     with pytest.raises(ValueError):
         spmv_pallas.dia_spmv_chain(a, jnp.asarray(x), k=0)
+
+
+def test_pad_dia_inert():
+    """pad_dia: zero rows/cols to a multiple — results on the original
+    range identical, padded range stays zero through a chain."""
+    import jax.numpy as jnp
+
+    from sparse_linear_tpu.formats.structured import csr_to_dia, pad_dia
+    from sparse_linear_tpu.kernels.spmv import dia_spmv
+    from sparse_linear_tpu.utils.grids import poisson_2d
+
+    a = poisson_2d(9, dtype=np.float64)  # n = 81, off-multiple
+    d = csr_to_dia(a.tocsr())
+    dp = pad_dia(d, multiple=64)
+    assert dp.shape == (128, 128)
+    x = np.random.default_rng(0).standard_normal(81)
+    xp = jnp.zeros((128,)).at[:81].set(x)
+    y = np.asarray(dia_spmv(d, jnp.asarray(x)))
+    yp = np.asarray(dia_spmv(dp, xp))
+    np.testing.assert_allclose(yp[:81], y, rtol=1e-13, atol=1e-13)
+    assert np.all(yp[81:] == 0)
+    # chain: feed back, pad range must stay inert
+    y2 = np.asarray(dia_spmv(dp, dia_spmv(dp, xp)))
+    ref2 = np.asarray(dia_spmv(d, dia_spmv(d, jnp.asarray(x))))
+    np.testing.assert_allclose(y2[:81], ref2, rtol=1e-12, atol=1e-12)
+    assert np.all(y2[81:] == 0)
+    # already aligned: no-op
+    assert pad_dia(dp, multiple=64) is dp
