@@ -985,7 +985,9 @@ def _in_basket(metric):
 
 
 def _composite(components, partial=False):
-    basket = [c for c in components if _in_basket(c["metric"])] or components
+    basket = [c for c in components if _in_basket(c["metric"])]
+    if not basket:
+        basket = components  # nothing from the frozen basket finished yet
     ratios = [max(c["vs_baseline"], 1e-9) for c in basket]
     score = float(np.prod(ratios) ** (1.0 / len(ratios)))
     accuracy_ok = all(
@@ -1006,7 +1008,7 @@ def _composite(components, partial=False):
         },
         "extras": {
             c["metric"]: c["vs_baseline"]
-            for c in components if not _in_basket(c["metric"])
+            for c in components if c not in basket
         },
         "all_components_above_floor": floor_ok,
     }

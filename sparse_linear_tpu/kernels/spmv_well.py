@@ -113,6 +113,13 @@ def _well_spmv_real(a, x, interpret=False, vb=16):
             out_specs=pl.BlockSpec((vb * 8, _LANES), lambda v, s: (v, _I0)),
         ),
         out_shape=jax.ShapeDtypeStruct((nv * 8, _LANES), a.vals.dtype),
+        # the resident x (+ double buffering) exceeds Mosaic's 16 MB default
+        # scoped-vmem budget once nc reaches tens of millions (the SpGEMM
+        # gather sources hit ~26M elements at 1M-dof operators — compile
+        # failed with a scoped-vmem stack OOM); the chip has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20,
+        ),
         interpret=interpret,
     )
     y2 = f(a.bases.reshape(-1), x2, a.idx, a.vals)
