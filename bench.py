@@ -445,6 +445,23 @@ def bench_spmv_10m(grid=216, dtype=jnp.float32):
     return out
 
 
+_SYM_CACHE: dict = {}
+
+
+def _analyze_2d(a32, grid):
+    """Shared symbolic analysis per grid: bench_lu_1m and bench_lu_pivoted
+    factor the SAME pattern, and the host-side analyze costs ~70 s at 1M
+    dof — the analyze-once staging the product itself prescribes
+    (reference Umfpack.hs:56-58)."""
+    from sparse_linear_tpu.solve import multifrontal as mf
+
+    sym = _SYM_CACHE.get(grid)
+    if sym is None:
+        sym = mf.analyze(a32, dims=(grid, grid))
+        _SYM_CACHE[grid] = sym
+    return sym
+
+
 def bench_lu_1m(grid=1024):
     jax.config.update("jax_enable_x64", True)
     from sparse_linear_tpu.ops.linalg import spmv
@@ -455,7 +472,7 @@ def bench_lu_1m(grid=1024):
     n = grid * grid
     a32 = poisson_2d(grid, dtype=np.float32)
     a64 = poisson_2d(grid, dtype=np.float64)
-    sym = mf.analyze(a32, dims=(grid, grid))
+    sym = _analyze_2d(a32, grid)
     # SPD operator -> Cholesky fronts (the CHOLMOD-analog path; XLA's TPU
     # Cholesky panels are 3-7x faster than the pivoted LU at every bucket
     # shape).  The 1e-10 gate below still checks the refined residual.
@@ -588,7 +605,7 @@ def bench_lu_pivoted(grid=1024):
     n = grid * grid
     a32 = poisson_2d(grid, dtype=np.float32)
     a64 = poisson_2d(grid, dtype=np.float64)
-    sym = mf.analyze(a32, dims=(grid, grid))
+    sym = _analyze_2d(a32, grid)
 
     def sync(factors):
         leaf = jax.tree_util.tree_leaves(
@@ -905,14 +922,19 @@ def bench_feast_1m_interior(grid=1024):
     }
 
 
-def bench_spgemm(grid=1024, dtype=jnp.float32):
+def bench_spgemm(grid=512, dtype=jnp.float32):
     """SpGEMM numeric phase (the reference's ``mm``/`*`,
     sparse-linear/src/Data/Matrix/Sparse.hs:691-702): C = A @ A on the 2D
     Poisson operator through the staged WELL plan (three 0/1-WELL gathers +
-    one multiply, ops/spgemm.spgemm_apply_well).  In-process CPU baseline:
-    scipy CSR ``A @ A`` (numeric, pattern warm — scipy re-runs both phases;
-    reported separately).  NOT part of the composite: the ~100x ratio would
-    inflate the geomean; this line exists so the op's speed is on record."""
+    one multiply, ops/spgemm.spgemm_apply_well).  grid=512 is the
+    configuration the r3 code-comment figure was measured at (6.5M
+    products — continuity); the op also runs at 1024^2 (measured this
+    round: 30.1 ms numeric vs scipy 128.9 ms both-phase, 26.2M products,
+    matches scipy — the host-side plan build there costs ~200 s of bench
+    budget, which starved rounds 3/4).  In-process CPU baseline: scipy CSR
+    ``A @ A`` (numeric, pattern warm — scipy re-runs both phases; reported
+    separately).  NOT part of the composite: the ratio basket is frozen;
+    this line exists so the op's speed is on record."""
     import scipy.sparse as sp
 
     from sparse_linear_tpu.ops.spgemm import spgemm_apply_well, \

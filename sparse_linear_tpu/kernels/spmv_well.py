@@ -100,6 +100,19 @@ def _well_spmv_real(a, x, interpret=False, vb=16):
     x2 = x2.reshape(-1, _LANES)
 
     grid = (nv // vb,)
+    # the resident x (+ double buffering) exceeds Mosaic's 16 MB default
+    # scoped-vmem budget once nc reaches tens of millions (the SpGEMM
+    # gather sources hit ~26M elements at 1M-dof operators — compile
+    # failed with a scoped-vmem stack OOM); the chip has 128 MB.  Raised
+    # ONLY for oversized x: a blanket override regressed the normal-size
+    # SpMV ~12% (the budget steers Mosaic's scheduling)
+    kw = {}
+    if x2.nbytes > 32 * 2 ** 20:  # 4.2M-dof f32 (16.8 MB) compiles under
+                                  # the default budget; the 104 MB SpGEMM
+                                  # gather source does not
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20,
+        )
     f = pl.pallas_call(
         functools.partial(_kernel, c_max=cm, vb=vb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -113,14 +126,8 @@ def _well_spmv_real(a, x, interpret=False, vb=16):
             out_specs=pl.BlockSpec((vb * 8, _LANES), lambda v, s: (v, _I0)),
         ),
         out_shape=jax.ShapeDtypeStruct((nv * 8, _LANES), a.vals.dtype),
-        # the resident x (+ double buffering) exceeds Mosaic's 16 MB default
-        # scoped-vmem budget once nc reaches tens of millions (the SpGEMM
-        # gather sources hit ~26M elements at 1M-dof operators — compile
-        # failed with a scoped-vmem stack OOM); the chip has 128 MB
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 2 ** 20,
-        ),
         interpret=interpret,
+        **kw,
     )
     y2 = f(a.bases.reshape(-1), x2, a.idx, a.vals)
     return y2.reshape(-1)[:nr]
